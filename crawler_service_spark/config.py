@@ -1,0 +1,78 @@
+"""Job configuration for the crawl engine.
+
+Mirrors the reference's env-driven ``Settings``
+(/root/reference/app/core/config.py:13-103): politeness limits
+(config.py:35-39), concurrency (config.py:42-46) and retry policy
+(config.py:49-54). In Spark this is a small immutable dataclass passed to
+the driver loop and captured by UDF closures (the Spark analog of a
+broadcast of job parameters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Skip-extension list for the internal-link predicate, verbatim semantics of
+# /root/reference/app/services/crawler.py:492-496 (checked with lowercase
+# path.endswith at crawler.py:498-500).
+SKIP_EXTENSIONS: tuple[str, ...] = (
+    ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx",
+    ".zip", ".rar", ".tar", ".gz", ".jpg", ".jpeg", ".png", ".gif",
+    ".svg", ".ico", ".css", ".js", ".xml", ".txt", ".csv",
+)
+
+# Status used for simulated transient failures before a doc's eventual
+# success (drives the deterministic retry simulation; SURVEY.md §2 R2).
+TRANSIENT_FAIL_STATUS = 503
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Crawl-request + engine knobs.
+
+    ``max_depth``/``follow_links`` reproduce the reference request fields
+    (/root/reference/app/models/crawl_models.py:42-43) including the
+    ``max_depth == 0`` quirk: 0 means "no depth filter" for enqueueing
+    (crawler.py:137-138) — with follow_links=True, the crawl is unbounded.
+    """
+
+    # request-level (crawl_models.py:39-67)
+    max_depth: int = 0
+    follow_links: bool = False
+    extract_text: bool = True
+    extract_images: bool = True
+    extract_links: bool = True
+    extract_headings: bool = True
+    extract_image_alt_text: bool = True
+    extract_canonical_url: bool = True
+
+    # politeness (config.py:35-39, rate_limiter.py:27-33)
+    default_rate_limit: int = 10          # requests per window per host
+    rate_limit_window_s: int = 60
+    rate_limiting_enabled: bool = True
+
+    # retry policy (config.py:49-54, crawler.py:554-569; jitter dropped —
+    # nondeterministic and excluded from every output contract)
+    max_retries: int = 3
+    retry_delay_base: float = 1.0
+    retry_delay_max: float = 10.0
+    retry_backoff_multiplier: float = 2.0
+    retry_on_timeout: bool = True
+    retry_on_connection_error: bool = True
+
+    # north-rule additions (superset of the reference, applied identically
+    # in engine and oracle so equality contracts still hold)
+    sort_query_params: bool = True        # canonicalization query-param sort
+    respect_robots: bool = True           # robots disallow-prefix filter
+
+    # engine/scale knobs (no semantic effect; partitioning only)
+    seq_buckets: int = 64                 # two-level dense-seq bucket count
+    shuffle_partitions: int = 32
+    bloom_num_bits: int = 1 << 20         # seen-filter prefilter bitmap size
+    bloom_num_hashes: int = 3
+
+    # virtual-clock origin for deterministic scheduling timestamps
+    round_epoch: float = 0.0
+
+    skip_extensions: tuple[str, ...] = field(default=SKIP_EXTENSIONS)

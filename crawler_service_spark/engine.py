@@ -1,0 +1,280 @@
+"""The round-based BSP crawl engine (SURVEY §3.1 "Spark lifecycle").
+
+Each reference BFS depth level (/root/reference/app/services/crawler.py:
+103-162) becomes one Spark round:
+
+    frontier_r --(RL1 politeness rank: virtual fetch times)-->
+      --(S1 fetch join vs content store)--> --(R1/R2 outcome columns)-->
+      --(X1-X8 mapInPandas extraction)--> pages_r  [snapshot]
+    pages_r --(J1 posexplode links)--(F1 internal filter)--(robots)-->
+      --(P1 canonicalize, pandas UDF)--(D2 first-occurrence)-->
+      --(D1 bloom-prefiltered anti-join vs url_seen)-->
+      --(O1 dense discovery_seq)--> frontier_{r+1}  [snapshot]
+
+Level-synchronized BFS is order-equivalent to the reference's serial FIFO
+deque because (a) a FIFO queue seeded at depth 0 pops strictly level by
+level, (b) the reference's enqueue-time dedup keeps the FIRST discovered
+raw variant, which is exactly ``min_(parent_seq, link_pos)`` — our D2 —
+and (c) every depth-r frontier entry is fetched before any depth-(r+1)
+entry, so the reference's "pending queue" anti-join (crawler.py:145)
+collapses into the end-of-round url_seen anti-join. The politeness
+limiter never reorders (it only sleeps — rate_limiter.py:139-150), so it
+contributes virtual fetch *times*, not order.
+
+All state (frontier, url_seen, pages) lives in per-round parquet
+snapshots (sources/storage.py), giving checkpoint/resume with identical
+ordering and O(1) plans per round. url_seen is append-only: round k
+writes only the canon URLs first seen in round k; the full set is the
+union of snapshots — at 10^10 scale this is one immutable partition per
+round instead of a rewrite of the world.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_service_spark.config import CrawlConfig
+from crawler_service_spark.functions.classify import resolve_fetch_outcome
+from crawler_service_spark.functions.urls import make_canon_udf, url_parts_udf
+from crawler_service_spark.operators.dedup import (
+    BloomPrefilter,
+    anti_join_seen,
+    first_occurrence,
+)
+from crawler_service_spark.operators.extract import extract_pages
+from crawler_service_spark.operators.links import (
+    expand_links,
+    filter_internal,
+    filter_robots,
+)
+from crawler_service_spark.operators.politeness import schedule_round
+from crawler_service_spark.operators.sequence import assign_dense_seq
+from crawler_service_spark.sources.storage import SnapshotStore
+
+FRONTIER_COLS = [
+    "task_id", "seed_netloc", "url", "canon_url", "host", "depth", "discovery_seq",
+]
+
+
+@dataclass
+class CrawlTables:
+    pages: DataFrame          # all rounds, unordered; order key = (task_id, depth, discovery_seq)
+    seen: DataFrame           # (task_id, canon_url)
+    round_counters: list[dict]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        store: DataFrame,
+        checkpoint_dir: str,
+        policy: DataFrame | None = None,
+        use_bloom: bool = True,
+        max_rounds: int = 200,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.policy = policy
+        self.storage = SnapshotStore(checkpoint_dir)
+        self.use_bloom = use_bloom
+        self.max_rounds = max_rounds
+        self.canon = make_canon_udf(cfg.sort_query_params)
+        # content store projected to fetch-join shape, keyed by canon URL
+        self.store = store.select(
+            F.col("doc_id").alias("canon_url"),
+            "status_code",
+            "fail_times",
+            "response_time_ms",
+            "html",
+        )
+
+    # ------------------------------------------------------------------ util
+    def _seen_key(self):
+        return F.concat_ws("", F.col("task_id"), F.col("canon_url"))
+
+    def _read_seen(self, rounds: list[int]) -> DataFrame | None:
+        if not rounds:
+            return None
+        paths = [self.storage._table_path("seen", r) for r in rounds]
+        return self.spark.read.parquet(*paths)
+
+    # -------------------------------------------------------------- frontier
+    def _initial_frontier(self, seeds: DataFrame) -> DataFrame:
+        n_seeds = seeds.count()
+        f = (
+            seeds.withColumn("_parts", url_parts_udf(F.col("url")))
+            .withColumn("canon_url", self.canon(F.col("url")))
+            .select(
+                "task_id",
+                F.col("_parts.netloc").alias("seed_netloc"),
+                "url",
+                "canon_url",
+                F.col("_parts.host").alias("host"),
+                F.lit(0).alias("depth"),
+                "seed_seq",
+            )
+        )
+        f = assign_dense_seq(
+            f, "seed_seq", "seed_seq", n_seeds, self.cfg.seq_buckets
+        ).drop("seed_seq")
+        return f.select(FRONTIER_COLS)
+
+    # ----------------------------------------------------------------- crawl
+    def crawl(self, seeds: DataFrame | None = None, resume: bool = False) -> CrawlTables:
+        cfg = self.cfg
+        counters: list[dict] = []
+        bloom = (
+            BloomPrefilter(cfg.bloom_num_bits, cfg.bloom_num_hashes)
+            if self.use_bloom
+            else None
+        )
+
+        if resume:
+            latest = self.storage.latest_round()
+            if latest is None:
+                raise ValueError("nothing to resume from")
+            meta = self.storage.round_meta(latest)
+            seen_rounds = [
+                e["round"]
+                for e in self.storage._read_manifest()["rounds"]
+                if "seen" in e["tables"]
+            ]
+            if "frontier" not in meta["tables"]:
+                # crawl already complete; just return assembled tables
+                all_pages = self.storage.pages_glob(self.spark, latest)
+                return CrawlTables(
+                    pages=all_pages,
+                    seen=self._read_seen(seen_rounds),
+                    round_counters=[],
+                )
+            rnd = latest + 1
+            frontier = self.storage.read_table(self.spark, "frontier", rnd)
+            if bloom is not None and seen_rounds:
+                bloom.fit(
+                    self._read_seen(seen_rounds).select(self._seen_key().alias("k")),
+                    "k",
+                )
+        else:
+            if seeds is None:
+                raise ValueError("seeds required when not resuming")
+            rnd = 0
+            seen_rounds = []
+            self.storage.write_table(self._initial_frontier(seeds), "frontier", 0)
+            frontier = self.storage.read_table(self.spark, "frontier", 0)
+
+        while rnd < self.max_rounds:
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            depth_of_round = rnd  # frontier depth == round index (BFS levels)
+
+            admitted, _ = schedule_round(
+                frontier,
+                self.policy,
+                default_limit=cfg.default_rate_limit,
+                default_window_s=cfg.rate_limit_window_s,
+                round_epoch=cfg.round_epoch,
+                budget_rounds=None,
+                priority_col="depth",
+                shuffle_partitions=cfg.shuffle_partitions,
+            )
+
+            fetched = admitted.join(self.store, "canon_url", "left")
+            fetched = resolve_fetch_outcome(fetched, cfg)
+            pages = extract_pages(fetched, cfg).withColumn("round", F.lit(rnd))
+            pages = pages.drop("html", "status_code", "fail_times")
+
+            self.storage.write_table(pages, "pages", rnd)
+            pages = self.storage.read_table(self.spark, "pages", rnd)
+
+            new_seen = frontier.select("task_id", "canon_url")
+            self.storage.write_table(new_seen, "seen", rnd)
+            seen_rounds.append(rnd)
+            if bloom is not None:
+                bloom.update(
+                    self.storage.read_table(self.spark, "seen", rnd)
+                    .select(self._seen_key().alias("k")),
+                    "k",
+                )
+            seen = self._read_seen(seen_rounds)
+
+            expand = cfg.follow_links and (
+                cfg.max_depth == 0 or depth_of_round < cfg.max_depth
+            )
+            wrote_frontier = False
+            if expand:
+                success = pages.filter(~F.col("is_error"))
+                cand = expand_links(success)
+                cand = filter_internal(cand, cfg)
+                if cfg.respect_robots:
+                    cand = filter_robots(cand, self.policy)
+                cand = cand.withColumn("canon_url", self.canon(F.col("url")))
+                cand = first_occurrence(
+                    cand, ["task_id", "canon_url"], ["parent_seq", "link_pos"]
+                )
+                cand = anti_join_seen(
+                    cand.withColumn("_bloom_key", self._seen_key()),
+                    seen,
+                    ["task_id", "canon_url"],
+                    bloom=bloom,
+                    bloom_key="_bloom_key",
+                ).drop("_bloom_key")
+                cand = assign_dense_seq(
+                    cand, "parent_seq", "link_pos", n_frontier, cfg.seq_buckets
+                )
+                next_frontier = cand.select(FRONTIER_COLS)
+                self.storage.write_table(next_frontier, "frontier", rnd + 1)
+                wrote_frontier = True
+
+            self.storage.commit_round(
+                rnd,
+                ["pages", "seen"] + (["frontier"] if wrote_frontier else []),
+                {"frontier": n_frontier, "depth": depth_of_round},
+            )
+            counters.append({"round": rnd, "frontier": n_frontier})
+
+            if not expand:
+                break
+            frontier = self.storage.read_table(self.spark, "frontier", rnd + 1)
+            rnd += 1
+
+        latest = self.storage.latest_round()
+        all_pages = self.storage.pages_glob(self.spark, latest)
+        seen = self._read_seen(seen_rounds)
+        return CrawlTables(pages=all_pages, seen=seen, round_counters=counters)
+
+
+def fetch_order(pages: DataFrame) -> DataFrame:
+    """Per-task fetch sequence: rank over (depth, discovery_seq).
+
+    Used for the equality contract and small exports. NOTE: this window
+    partitions by task — fine for per-task ordered output; the engine's
+    hot loop never needs it (it uses the two-level dense seq instead).
+    """
+    w = Window.partitionBy("task_id").orderBy("depth", "discovery_seq")
+    return pages.withColumn("fetch_seq", F.row_number().over(w).cast("long") - 1)
+
+
+def retry_stats(pages: DataFrame) -> dict:
+    """A3 (SURVEY §2): the reference's five global retry counters
+    (crawler.py:49-55) from per-row outcome columns."""
+    attempts = F.col("retry_attempts")
+    is_err = F.col("is_error")
+    transient_err = F.col("error.error_type") == "transient"
+    row = pages.agg(
+        F.sum(attempts).alias("total_retries"),
+        F.sum(((~is_err) & (attempts > 0)).cast("long")).alias("successful_retries"),
+        F.sum((is_err & transient_err).cast("long")).alias("failed_retries"),
+        F.sum(
+            F.when(is_err & transient_err, attempts + 1)
+            .when((~is_err) & (attempts > 0), attempts)
+            .otherwise(F.lit(0))
+        ).alias("transient_errors"),
+        F.sum((is_err & ~transient_err).cast("long")).alias("permanent_errors"),
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in row.asDict()}

@@ -1,0 +1,157 @@
+"""URL canonicalization and parsing (SURVEY.md §2 P1/P2).
+
+Re-implements the *semantics* of the reference's ``_normalize_url``
+(/root/reference/app/services/crawler.py:439-474) and ``_get_domain``
+(/root/reference/app/services/rate_limiter.py:40-51) from their spec —
+not a code copy — and lifts them into vectorized pandas/Arrow UDFs
+(`input_hint`: no per-row Python UDFs; Arrow batches keep the JVM↔Python
+crossing amortized over thousands of rows).
+
+Two tiers:
+
+* **pandas UDFs** (`make_canon_udf`, `url_parts_udf`, `host_udf`) — exact
+  `urllib.parse` parity, the engine's source of truth.
+* **native column expressions** (`host_native`, …) — JVM-side/codegen fast
+  paths used in SQL-oracle-checkable queries; unit tests pin them to the
+  pandas-UDF outputs on representative URL shapes.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def canonicalize_url(url: str, sort_query: bool = True) -> str:
+    """Canonical form of ``url``.
+
+    Reference semantics (crawler.py:439-474): lowercase scheme+netloc;
+    strip ``:80`` (http) / ``:443`` (https); path ``'/' -> ''`` and strip
+    trailing slash on longer paths; drop fragment; keep query; on parse
+    failure return the input unchanged (crawler.py:472-474).
+
+    North-rule superset: when ``sort_query`` is True the query params are
+    sorted by (key, value) — applied identically in the oracle so equality
+    contracts hold either way.
+    """
+    try:
+        parsed = urlparse(url)
+        scheme = parsed.scheme.lower()
+        netloc = parsed.netloc.lower()
+        if scheme == "http" and netloc.endswith(":80"):
+            netloc = netloc[:-3]
+        elif scheme == "https" and netloc.endswith(":443"):
+            netloc = netloc[:-4]
+        path = parsed.path
+        if path == "/":
+            path = ""
+        elif path.endswith("/") and len(path) > 1:
+            path = path.rstrip("/")
+        query = parsed.query
+        if sort_query and query:
+            pairs = sorted(parse_qsl(query, keep_blank_values=True))
+            query = urlencode(pairs)
+        return urlunparse((scheme, netloc, path, parsed.params, query, ""))
+    except (ValueError, AttributeError, TypeError):
+        return url
+
+
+def host_of(url: str) -> str:
+    """Lowercased netloc with port stripped (rate_limiter.py:40-51)."""
+    try:
+        domain = urlparse(url).netloc.lower()
+        if ":" in domain:
+            domain = domain.split(":")[0]
+        return domain
+    except (ValueError, AttributeError, TypeError):
+        return "unknown"
+
+
+URL_PARTS_SCHEMA = StructType(
+    [
+        StructField("scheme", StringType()),
+        StructField("netloc", StringType()),
+        StructField("host", StringType()),
+        StructField("path", StringType()),
+        StructField("query", StringType()),
+        StructField("fragment", StringType()),
+    ]
+)
+
+
+def _parts_row(url: str) -> dict:
+    try:
+        p = urlparse(url)
+        netloc = p.netloc.lower()
+        host = netloc.split(":")[0] if ":" in netloc else netloc
+        return {
+            "scheme": p.scheme.lower(),
+            "netloc": p.netloc,
+            "host": host,
+            "path": p.path,
+            "query": p.query,
+            "fragment": p.fragment,
+        }
+    except (ValueError, AttributeError, TypeError):
+        return {
+            "scheme": "", "netloc": "", "host": "unknown",
+            "path": "", "query": "", "fragment": "",
+        }
+
+
+def make_canon_udf(sort_query: bool = True):
+    """Series→Series pandas UDF for P1 canonicalization."""
+
+    @F.pandas_udf(StringType())
+    def canon(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: canonicalize_url(u, sort_query))
+
+    return canon
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    """P2: host extraction, exact urllib parity."""
+    return urls.map(host_of)
+
+
+@F.pandas_udf(URL_PARTS_SCHEMA)
+def url_parts_udf(urls: pd.Series) -> pd.DataFrame:
+    """One Arrow round-trip yielding all URL parts (feeds F1/F2/robots)."""
+    return pd.DataFrame([_parts_row(u) for u in urls])
+
+
+def make_urljoin_udf():
+    """(base, href) → absolute URL, `urllib.parse.urljoin` parity
+    (used by X5/X6/X8 extraction, crawler.py:310,325,344)."""
+
+    @F.pandas_udf(StringType())
+    def join2(base: pd.Series, href: pd.Series) -> pd.Series:
+        return pd.Series([urljoin(b, h) for b, h in zip(base, href)])
+
+    return join2
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM/codegen) fast paths — used where the plan must stay inside
+# whole-stage codegen and the URL shape is controlled; pinned to the pandas
+# UDFs by tests/test_urls.py.
+# ---------------------------------------------------------------------------
+
+def host_native(url_col):
+    """Host extraction as a native expression (no Python)."""
+    netloc = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    return F.lower(F.regexp_replace(netloc, r":\d+$", ""))
+
+
+def skip_extension_predicate(path_col, extensions=None):
+    """F1 skip-list: lowercase path ends with a skip extension
+    (crawler.py:492-500)."""
+    from crawler_service_spark.config import SKIP_EXTENSIONS
+
+    exts = extensions or SKIP_EXTENSIONS
+    alternation = "|".join(e.lstrip(".") for e in exts)
+    return F.lower(path_col).rlike(r"\.(" + alternation + r")$")

@@ -1,0 +1,96 @@
+"""Per-page extraction stage (SURVEY §2 X1–X8) as one mapInPandas pass.
+
+The reference parses each page with BeautifulSoup row-at-a-time
+(/root/reference/app/services/crawler.py:284-344). Here the whole
+extraction is ONE Arrow-batched `mapInPandas` stage: the JVM ships
+columnar batches to a single Python worker pass that appends every
+extraction output (title, meta, text, images, links, headings, alt text,
+canonical, interleaved spans) — zero per-row Python at the Spark level,
+one JVM↔Python crossing per ~10k-row batch (`input_hint` mandate).
+
+Error pages get the reference's defaults (crawler.py:232-243): empty
+headings/arrays, null scalars.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawler_service_spark.config import CrawlConfig
+from crawler_service_spark.functions.html import extract_page
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+)
+
+EXTRACTION_FIELDS = [
+    StructField("title", StringType()),
+    StructField("meta_description", StringType()),
+    StructField("text_content", StringType()),
+    StructField("images", ArrayType(StringType())),
+    StructField("links", ArrayType(StringType())),
+    StructField("headings", MapType(StringType(), ArrayType(StringType()))),
+    StructField("image_alt_text", ArrayType(StringType())),
+    StructField("canonical_url", StringType()),
+    StructField("spans", SPAN_TYPE),
+]
+
+_EMPTY = {
+    "title": None,
+    "meta_description": None,
+    "text_content": None,
+    "images": [],
+    "links": [],
+    "headings": {},
+    "image_alt_text": [],
+    "canonical_url": None,
+    "spans": [],
+}
+
+
+def extract_pages(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Append extraction columns; expects ``html``, ``url``, ``is_error``."""
+    out_schema = StructType(list(df.schema.fields) + EXTRACTION_FIELDS)
+    flags = dict(
+        extract_text=cfg.extract_text,
+        extract_images=cfg.extract_images,
+        extract_links=cfg.extract_links,
+        extract_headings=cfg.extract_headings,
+        extract_image_alt_text=cfg.extract_image_alt_text,
+        extract_canonical_url=cfg.extract_canonical_url,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for html, url, is_err in zip(
+                pdf["html"], pdf["url"], pdf["is_error"]
+            ):
+                if is_err or html is None or not isinstance(html, str):
+                    rows.append(_EMPTY)
+                else:
+                    rows.append(extract_page(html, url, **flags))
+            ext = pd.DataFrame(rows, columns=list(_EMPTY.keys()))
+            yield pd.concat(
+                [pdf.reset_index(drop=True), ext.reset_index(drop=True)], axis=1
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,86 @@
+"""Snapshot store: per-round checkpoint/resume (SURVEY §1.3, §7.3).
+
+Iceberg semantics (snapshot per round; resume = read latest snapshot)
+implemented over parquet + a JSON manifest, behind one interface — the
+sandbox has no Iceberg runtime jar (SURVEY §7.7), and the contract only
+needs atomic "round committed" snapshots with a resumable latest pointer.
+Writing each round's frontier/seen to disk also truncates the BSP loop's
+lineage, which is what keeps round N's plan O(1) instead of O(N) —
+the batch analog of streaming state checkpointing.
+
+Layout::
+
+    <root>/manifest.json                 # {"rounds": [...], "latest": k}
+    <root>/<table>/round=<k>/*.parquet
+
+A round's manifest entry is written only after every table write for that
+round succeeds, so a killed job resumes from the last complete round with
+identical ordering (parquet re-read order does not matter — all engine
+ordering is by explicit sort keys, never file order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.root / "manifest.json"
+
+    # -- manifest ----------------------------------------------------------
+    def _read_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"rounds": [], "latest": None}
+
+    def latest_round(self) -> int | None:
+        return self._read_manifest()["latest"]
+
+    def round_meta(self, rnd: int) -> dict | None:
+        for entry in self._read_manifest()["rounds"]:
+            if entry["round"] == rnd:
+                return entry
+        return None
+
+    # -- snapshot I/O -------------------------------------------------------
+    def _table_path(self, table: str, rnd: int) -> str:
+        return str(self.root / table / f"round={rnd:06d}")
+
+    def write_table(self, df: DataFrame, table: str, rnd: int) -> str:
+        path = self._table_path(table, rnd)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read_table(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
+        return spark.read.parquet(self._table_path(table, rnd))
+
+    def commit_round(self, rnd: int, tables: list[str], counters: dict) -> None:
+        """Atomic-enough commit: manifest written last, via rename."""
+        manifest = self._read_manifest()
+        manifest["rounds"] = [e for e in manifest["rounds"] if e["round"] != rnd]
+        manifest["rounds"].append(
+            {"round": rnd, "tables": tables, "counters": counters}
+        )
+        manifest["rounds"].sort(key=lambda e: e["round"])
+        manifest["latest"] = rnd
+        tmp = self.manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(self.manifest_path)
+
+    def pages_glob(self, spark: SparkSession, upto_round: int) -> DataFrame | None:
+        """Union of all committed pages snapshots (schema-stable)."""
+        paths = [
+            self._table_path("pages", e["round"])
+            for e in self._read_manifest()["rounds"]
+            if e["round"] <= upto_round and "pages" in e["tables"]
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)

@@ -1,0 +1,186 @@
+"""THE equality contract (BASELINE.json): the distributed engine must
+reproduce the reference's serial BFS exactly — identical crawl ordering,
+identical URL-seen set, per-document span-sequence equality — over the
+same synthetic corpus, seed list and politeness budget."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.config import CrawlConfig
+from crawler_service_spark.engine import CrawlEngine, fetch_order, retry_stats
+from crawler_service_spark.oracle import simulate_many
+from crawler_service_spark.sources.corpus import (
+    build_policy_df,
+    build_seeds_df,
+    build_store_df,
+    build_store_pandas,
+)
+
+N_DOCS, N_HOSTS, N_SEEDS = 300, 8, 5
+
+
+def _store_dict(store_pdf):
+    return {
+        r["doc_id"]: {
+            "status_code": int(r["status_code"]),
+            "fail_times": int(r["fail_times"]),
+            "html": r["html"],
+        }
+        for _, r in store_pdf.iterrows()
+    }
+
+
+def _policy_dict(policy_df):
+    return {
+        r["host"]: {"disallow_prefixes": list(r["disallow_prefixes"])}
+        for r in policy_df.collect()
+    }
+
+
+def _run_engine(spark, cfg, tmp, use_bloom=True, policy=None):
+    store = build_store_df(spark, N_DOCS, N_HOSTS)
+    seeds = build_seeds_df(spark, N_DOCS, N_HOSTS, N_SEEDS)
+    engine = CrawlEngine(
+        spark, cfg, store, checkpoint_dir=tmp, policy=policy, use_bloom=use_bloom
+    )
+    return engine.crawl(seeds)
+
+
+def _run_oracle(spark, cfg, policy=None):
+    store_pdf = build_store_pandas(N_DOCS, N_HOSTS)
+    seeds = [
+        (r["task_id"], r["url"])
+        for r in build_seeds_df(spark, N_DOCS, N_HOSTS, N_SEEDS)
+        .orderBy("seed_seq")
+        .collect()
+    ]
+    pol = _policy_dict(policy) if policy is not None else None
+    return simulate_many(_store_dict(store_pdf), seeds, cfg, policy=pol)
+
+
+def _compare(tables, oracle_results):
+    got = (
+        fetch_order(tables.pages)
+        .select(
+            "task_id", "fetch_seq", "depth", "url", "canon_url",
+            "effective_status", "retry_attempts", "is_error", "spans",
+        )
+        .orderBy("task_id", "fetch_seq")
+        .collect()
+    )
+    by_task = {}
+    for row in got:
+        by_task.setdefault(row["task_id"], []).append(row)
+
+    want_tasks = {r.order[0].task_id: r for r in oracle_results if r.order}
+    assert set(by_task) == set(want_tasks)
+
+    for tid, want in want_tasks.items():
+        rows = by_task[tid]
+        assert len(rows) == len(want.order), f"{tid}: page count"
+        for row, exp in zip(rows, want.order):
+            assert row["fetch_seq"] == exp.fetch_seq
+            assert row["depth"] == exp.depth, (tid, exp.fetch_seq)
+            assert row["url"] == exp.url, (tid, exp.fetch_seq)
+            assert row["canon_url"] == exp.canon_url
+            assert row["effective_status"] == exp.status, (tid, exp.url)
+            assert row["retry_attempts"] == exp.retry_attempts
+            assert bool(row["is_error"]) == exp.is_error
+            got_spans = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in (row["spans"] or [])
+            ]
+            want_spans = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in exp.spans
+            ]
+            assert got_spans == want_spans, (tid, exp.url)
+
+    # URL-seen set equality
+    return True
+
+
+def _compare_seen(tables, oracle_results):
+    got_seen = {
+        (r["task_id"], r["canon_url"]) for r in tables.seen.collect()
+    }
+    want_seen = set()
+    for res in oracle_results:
+        want_seen |= res.seen
+    assert got_seen == want_seen
+
+
+@pytest.mark.parametrize("max_depth,follow", [(0, False), (2, True), (0, True)])
+def test_engine_matches_oracle(spark, max_depth, follow):
+    cfg = CrawlConfig(max_depth=max_depth, follow_links=follow, respect_robots=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        tables = _run_engine(spark, cfg, tmp)
+        oracle = _run_oracle(spark, cfg)
+        _compare(tables, oracle)
+        _compare_seen(tables, oracle)
+
+
+def test_engine_matches_oracle_with_robots(spark):
+    cfg = CrawlConfig(max_depth=3, follow_links=True, respect_robots=True)
+    policy = build_policy_df(spark, N_HOSTS)
+    with tempfile.TemporaryDirectory() as tmp:
+        tables = _run_engine(spark, cfg, tmp, policy=policy)
+        oracle = _run_oracle(spark, cfg, policy=policy)
+        _compare(tables, oracle)
+        _compare_seen(tables, oracle)
+
+
+def test_engine_no_bloom_same_result(spark):
+    cfg = CrawlConfig(max_depth=2, follow_links=True, respect_robots=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        tables = _run_engine(spark, cfg, tmp, use_bloom=False)
+        oracle = _run_oracle(spark, cfg)
+        _compare(tables, oracle)
+
+
+def test_retry_stats_match(spark):
+    cfg = CrawlConfig(max_depth=2, follow_links=True, respect_robots=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        tables = _run_engine(spark, cfg, tmp)
+        oracle = _run_oracle(spark, cfg)
+        got = retry_stats(tables.pages)
+        want = {
+            k: sum(r.retry_stats[k] for r in oracle)
+            for k in oracle[0].retry_stats
+        }
+        assert got == want
+
+
+def test_politeness_invariant(spark):
+    """≤ limit virtual fetches per host per window (rate_limiter.py:67-90)."""
+    from crawler_service_spark.operators.politeness import schedule_round
+
+    cfg = CrawlConfig()
+    store = build_store_df(spark, N_DOCS, N_HOSTS)
+    seeds = build_seeds_df(spark, N_DOCS, N_HOSTS, N_SEEDS)
+    policy = build_policy_df(spark, N_HOSTS)
+    with tempfile.TemporaryDirectory() as tmp:
+        engine = CrawlEngine(spark, cfg, store, checkpoint_dir=tmp, policy=policy)
+        frontier = engine._initial_frontier(seeds)
+        # blow the frontier up: every doc as a frontier row
+        big = store.select(
+            F.lit("t").alias("task_id"),
+            F.col("host").alias("seed_netloc"),
+            F.col("doc_id").alias("url"),
+            F.col("doc_id").alias("canon_url"),
+            "host",
+            F.lit(1).alias("depth"),
+            F.monotonically_increasing_id().alias("discovery_seq"),
+        )
+        sched, _ = schedule_round(big, policy, default_limit=10, default_window_s=60)
+        per_window = (
+            sched.withColumn(
+                "win", F.floor(F.col("virtual_fetch_time") / F.col("window_s"))
+            )
+            .groupBy("host", "win")
+            .agg(F.count("*").alias("n"), F.first("rate_limit").alias("lim"))
+        )
+        bad = per_window.filter(F.col("n") > F.col("lim")).count()
+        assert bad == 0

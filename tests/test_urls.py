@@ -1,0 +1,92 @@
+"""P1/P2 canonicalization — table-driven cases from the reference spec
+(/root/reference/app/services/crawler.py:439-474, rate_limiter.py:40-51)
+plus idempotence property tests."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawler_service_spark.functions.urls import (
+    canonicalize_url,
+    host_native,
+    host_of,
+    make_canon_udf,
+)
+
+# (input, expected with sort_query=False)  — reference-exact semantics
+REFERENCE_CASES = [
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),  # scheme+netloc lower, path case kept
+    ("http://example.com:80/a", "http://example.com/a"),     # default port strip
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default port kept
+    ("https://example.com:80/a", "https://example.com:80/a"),    # :80 on https kept
+    ("http://example.com/", "http://example.com"),            # '/' -> ''
+    ("http://example.com/a/", "http://example.com/a"),         # trailing slash strip
+    ("http://example.com/a//", "http://example.com/a"),        # rstrip all
+    ("http://example.com/a#frag", "http://example.com/a"),     # fragment drop
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?b=2&a=1"),  # query kept verbatim
+    ("http://example.com", "http://example.com"),
+    ("not a url at all", "not a url at all"),                 # passthrough-ish
+]
+
+SORTED_CASES = [
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?z=1&z=0", "http://example.com/a?z=0&z=1"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", REFERENCE_CASES)
+def test_reference_exact_cases(raw, expected):
+    assert canonicalize_url(raw, sort_query=False) == expected
+
+
+@pytest.mark.parametrize("raw,expected", SORTED_CASES)
+def test_query_sort_cases(raw, expected):
+    assert canonicalize_url(raw, sort_query=True) == expected
+
+
+@given(
+    st.sampled_from(["http", "https", "HTTP"]),
+    st.sampled_from(["Example.com", "a.b.c", "x.io:8080", "y.z:443"]),
+    st.sampled_from(["", "/", "/a", "/a/b/", "/a.html"]),
+    st.sampled_from(["", "b=2&a=1", "k=v"]),
+    st.sampled_from(["", "frag"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(scheme, host, path, query, frag):
+    url = f"{scheme}://{host}{path}"
+    if query:
+        url += "?" + query
+    if frag:
+        url += "#" + frag
+    for sort_query in (False, True):
+        once = canonicalize_url(url, sort_query)
+        assert canonicalize_url(once, sort_query) == once
+
+
+def test_host_of():
+    assert host_of("https://EXAMPLE.com:8443/x") == "example.com"
+    assert host_of("http://example.com/x") == "example.com"
+
+
+def test_udfs_match_python(spark):
+    urls = [c[0] for c in REFERENCE_CASES + SORTED_CASES]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    canon = make_canon_udf(sort_query=True)
+    got = df.select("url", canon("url").alias("c")).collect()
+    for row in got:
+        assert row["c"] == canonicalize_url(row["url"], True)
+
+
+def test_host_native_matches_udf(spark):
+    urls = [
+        "https://Host3.Example.COM:443/page/1",
+        "http://a.b.c:8080/x?q=1",
+        "https://plain.org/",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    rows = df.select(host_native(F.col("url")).alias("h"), "url").collect()
+    for r in rows:
+        assert r["h"] == host_of(r["url"])
