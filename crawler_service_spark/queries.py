@@ -1,0 +1,863 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2) plus the training-data pipeline ops, each with a DuckDB
+oracle SQL over the same parquet tables (TESTDATA.md views).
+
+Parity conventions (the driver hashes values with columns sorted by
+name, so names AND types must line up):
+
+* every count/rank/integer output is cast to BIGINT on both sides;
+* every double output is ``round(x, 6)`` (or 2 for money) on both sides;
+* timestamps never appear raw in outputs — converted to epoch millis
+  (``unix_millis`` ↔ ``epoch_ms``; events.ts is TIMESTAMP_NTZ, session
+  timezone pinned to UTC);
+* md5 is the only hash used cross-engine (identical hex in both).
+
+The Spark side exercises the REAL operators (pandas-UDF canonicalizer,
+first_occurrence, anti_join_seen, schedule_round, classify columns…);
+the DuckDB side re-derives the expected answer independently in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_service_spark.config import CrawlConfig
+from crawler_service_spark.functions.classify import (
+    error_type_col,
+    is_retryable_col,
+    retry_delay_col,
+)
+from crawler_service_spark.functions.urls import (
+    host_udf,
+    make_canon_udf,
+    skip_extension_predicate,
+)
+from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+from crawler_service_spark.operators.politeness import schedule_round
+
+CFG = CrawlConfig()
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# URL synthesis shared by the crawler-shaped queries: deterministic dirty
+# URLs derived from orders (same construction mirrored in the oracle SQL).
+# ---------------------------------------------------------------------------
+
+def _synth_urls(orders: DataFrame) -> DataFrame:
+    k = (F.col("o_orderkey") % 97).cast("string")
+    n = F.col("o_orderkey").cast("string")
+    v = F.col("o_orderkey") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://host"), k, F.lit(".example.com/p/"), n))
+        .when(v == 1, F.concat(F.lit("HTTPS://HOST"), k, F.lit(".EXAMPLE.COM/p/"), n))
+        .when(v == 2, F.concat(F.lit("https://host"), k, F.lit(".example.com:443/p/"), n))
+        .when(v == 3, F.concat(F.lit("https://host"), k, F.lit(".example.com/p/"), n, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://host"), k, F.lit(".example.com/p/"), n, F.lit("?b=2&a=1")))
+    )
+    return orders.select(F.col("o_orderkey").alias("id"), url.alias("url"))
+
+
+_SYNTH_URLS_SQL = """
+    SELECT o_orderkey AS id,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'https://host' || k || '.example.com/p/' || n
+             WHEN 1 THEN 'HTTPS://HOST' || k || '.EXAMPLE.COM/p/' || n
+             WHEN 2 THEN 'https://host' || k || '.example.com:443/p/' || n
+             WHEN 3 THEN 'https://host' || k || '.example.com/p/' || n || '/'
+             ELSE 'https://host' || k || '.example.com/p/' || n || '?b=2&a=1'
+           END AS url
+    FROM (SELECT o_orderkey,
+                 CAST(o_orderkey % 97 AS VARCHAR) AS k,
+                 CAST(o_orderkey AS VARCHAR) AS n
+          FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1 / P2 — canonicalization + host extraction (pandas UDFs under test)
+# ---------------------------------------------------------------------------
+
+def q_p1_canonicalize(spark, sf_dir):
+    canon = make_canon_udf(sort_query=True)
+    return _synth_urls(load(spark, sf_dir, "orders")).select(
+        "id", canon("url").alias("canon_url")
+    )
+
+
+SQL_P1 = f"""
+    SELECT id,
+           'https://host' || CAST(id % 97 AS VARCHAR) || '.example.com/p/' ||
+           CAST(id AS VARCHAR) ||
+           CASE WHEN id % 5 = 4 THEN '?a=1&b=2' ELSE '' END AS canon_url
+    FROM ({_SYNTH_URLS_SQL})
+"""
+
+
+def q_p2_host_extract(spark, sf_dir):
+    return _synth_urls(load(spark, sf_dir, "orders")).select(
+        "id", host_udf(F.col("url")).alias("host")
+    )
+
+
+SQL_P2 = f"""
+    SELECT id,
+           'host' || CAST(id % 97 AS VARCHAR) || '.example.com' AS host
+    FROM ({_SYNTH_URLS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 — internal-link predicate (skip-extension list + fragment drop)
+# ---------------------------------------------------------------------------
+
+_EXT_CYCLE = ["html", "pdf", "css", "php", "jpg", "asp", "zip", "htm"]
+
+
+def _synth_paths(lineitem: DataFrame) -> DataFrame:
+    idx = (F.col("l_orderkey") + F.col("l_linenumber")) % len(_EXT_CYCLE)
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXT_CYCLE]), (idx + 1).cast("int"))
+    return lineitem.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.concat(F.lit("/f/"), F.col("l_orderkey").cast("string"), F.lit("."), ext).alias("path"),
+    )
+
+
+def q_f1_internal_filter(spark, sf_dir):
+    paths = _synth_paths(load(spark, sf_dir, "lineitem"))
+    return paths.filter(~skip_extension_predicate(F.col("path"))).select("id", "path")
+
+
+SQL_F1 = """
+    SELECT id, path FROM (
+      SELECT (l_orderkey * 10 + l_linenumber) AS id,
+             '/f/' || CAST(l_orderkey AS VARCHAR) || '.' ||
+             (['html','pdf','css','php','jpg','asp','zip','htm'])[CAST((l_orderkey + l_linenumber) % 8 AS INT) + 1] AS path
+      FROM lineitem)
+    WHERE NOT regexp_matches(lower(path),
+      '\\.(pdf|doc|docx|xls|xlsx|ppt|pptx|zip|rar|tar|gz|jpg|jpeg|png|gif|svg|ico|css|js|xml|txt|csv)$')
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 / D2 — URL-seen anti-join and first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+def q_d1_seen_antijoin(spark, sf_dir):
+    urls = _synth_urls(load(spark, sf_dir, "orders"))
+    seen = urls.filter(F.col("id") % 3 == 0).select(F.col("url").alias("canon_url"))
+    batch = urls.select("id", F.col("url").alias("canon_url"))
+    return anti_join_seen(batch, seen, ["canon_url"]).select("id")
+
+
+SQL_D1 = f"""
+    SELECT id FROM ({_SYNTH_URLS_SQL}) WHERE id % 3 <> 0
+"""
+
+
+def q_d2_first_occurrence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("k", F.col("user_id") % 500)
+    return first_occurrence(ev, ["k"], ["ts", "event_id"]).select("k", "event_id")
+
+
+SQL_D2 = """
+    SELECT user_id % 500 AS k, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id % 500 ORDER BY ts, event_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# RL1 — politeness budget rank + virtual schedule (real schedule_round)
+# ---------------------------------------------------------------------------
+
+def q_rl1_budget_rank(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 100).cast("string")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.col("event_id").alias("discovery_seq"),
+    )
+    sched, _ = schedule_round(
+        batch, None, default_limit=10, default_window_s=60, round_epoch=0.0,
+        priority_col="priority",
+    )
+    return sched.filter(F.col("host_rank") <= 30).select(
+        "host",
+        F.col("discovery_seq").alias("event_id"),
+        "host_rank",
+        F.round("virtual_fetch_time", 6).alias("virtual_fetch_time"),
+    )
+
+
+SQL_RL1 = """
+    SELECT host, event_id, host_rank,
+           round(CAST(floor((host_rank - 1) / 10) * 60 AS DOUBLE), 6) AS virtual_fetch_time
+    FROM (
+      SELECT 'h' || CAST(user_id % 100 AS VARCHAR) AS host, event_id,
+             row_number() OVER (PARTITION BY user_id % 100 ORDER BY event_id) AS host_rank
+      FROM events)
+    WHERE host_rank <= 30
+"""
+
+
+def q_rl1_wait_time(spark, sf_dir):
+    """Sliding-window wait math (rate_limiter.py:113-137): with limit=10 /
+    60s, the wait before request i is (t_{i-10} + 60s) - t_i, floored at 0."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("host_id"),
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    w = Window.partitionBy("host_id").orderBy("ms", "event_id")
+    oldest = F.lag("ms", 10).over(w)
+    wait = F.greatest(F.lit(0).cast("long"), oldest + 60000 - F.col("ms"))
+    return ev.select(
+        "host_id", "event_id",
+        F.coalesce(wait, F.lit(0).cast("long")).alias("wait_ms"),
+    )
+
+
+SQL_RL1_WAIT = """
+    SELECT host_id, event_id,
+           CAST(coalesce(greatest(0, oldest + 60000 - ms), 0) AS BIGINT) AS wait_ms
+    FROM (
+      SELECT user_id % 100 AS host_id, event_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts), 10) OVER (PARTITION BY user_id % 100 ORDER BY epoch_ms(ts), event_id) AS oldest
+      FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast policy join
+# ---------------------------------------------------------------------------
+
+def q_j2_policy_join(spark, sf_dir):
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    policy = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_name").isin("FRANCE", "GERMANY"), F.lit(5)).alias("custom_limit"),
+    )
+    return (
+        customer.join(F.broadcast(policy), customer.c_nationkey == policy.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.first(F.coalesce(F.col("custom_limit"), F.lit(10))).cast("long").alias("rate_limit"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+SQL_J2 = """
+    SELECT n_name,
+           CAST(CASE WHEN n_name IN ('FRANCE','GERMANY') THEN 5 ELSE 10 END AS BIGINT) AS rate_limit,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# R1 / R2 — error classification + backoff
+# ---------------------------------------------------------------------------
+
+def _synth_status(ev: DataFrame) -> DataFrame:
+    status = (
+        F.when(F.col("event_type") == "error", (F.lit(500) + F.col("event_id") % 4).cast("int"))
+        .when(F.col("event_type") == "signup", F.lit(429))
+        .when(F.col("event_type") == "purchase", (F.lit(400) + F.col("event_id") % 30).cast("int"))
+        .when(F.col("event_type") == "click", F.lit(200))
+        .otherwise(F.lit(301))
+    )
+    return ev.select("event_id", status.cast("int").alias("status"))
+
+
+_SYNTH_STATUS_SQL = """
+    SELECT event_id,
+           CAST(CASE event_type
+             WHEN 'error' THEN 500 + event_id % 4
+             WHEN 'signup' THEN 429
+             WHEN 'purchase' THEN 400 + event_id % 30
+             WHEN 'click' THEN 200
+             ELSE 301 END AS INT) AS status
+    FROM events
+"""
+
+
+def q_r1_error_classify(spark, sf_dir):
+    s = _synth_status(load(spark, sf_dir, "events"))
+    return s.select(
+        "event_id",
+        "status",
+        error_type_col(F.col("status")).alias("error_type"),
+        is_retryable_col(F.col("status")).alias("is_retryable"),
+    )
+
+
+SQL_R1 = f"""
+    SELECT event_id, status,
+           CASE WHEN (status BETWEEN 500 AND 599) OR status = 429 THEN 'transient'
+                WHEN status BETWEEN 400 AND 499 THEN 'permanent'
+                ELSE 'unknown' END AS error_type,
+           ((status BETWEEN 500 AND 599) OR status = 429) AS is_retryable
+    FROM ({_SYNTH_STATUS_SQL})
+"""
+
+
+def q_r2_retry_backoff(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 6).cast("int").alias("attempt")
+    ).distinct()
+    return ev.select(
+        F.col("attempt").cast("long").alias("attempt"),
+        F.round(retry_delay_col(F.col("attempt"), CFG), 6).alias("delay_s"),
+    )
+
+
+SQL_R2 = """
+    SELECT DISTINCT CAST(event_id % 6 AS BIGINT) AS attempt,
+           round(CASE WHEN event_id % 6 <= 0 THEN 0.0
+                      ELSE least(10.0, 1.0 * power(2.0, CAST(event_id % 6 AS DOUBLE) - 1.0)) END, 6) AS delay_s
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 / A2 / A4 — aggregations
+# ---------------------------------------------------------------------------
+
+def q_a1_result_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_A1 = """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+def q_a2_success_rate(spark, sf_dir):
+    s = _synth_status(load(spark, sf_dir, "events")).withColumn(
+        "host_id", F.col("event_id") % 50
+    )
+    return s.groupBy("host_id").agg(
+        F.round(F.avg((F.col("status") < 400).cast("int")), 6).alias("success_rate"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_A2 = f"""
+    SELECT event_id % 50 AS host_id,
+           round(avg(CASE WHEN status < 400 THEN 1 ELSE 0 END), 6) AS success_rate,
+           count(*) AS n
+    FROM ({_SYNTH_STATUS_SQL})
+    GROUP BY event_id % 50
+"""
+
+
+def q_a4_domain_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 01:00:00").cast("timestamp_ntz")
+    )
+    return (
+        ev.groupBy((F.col("user_id") % 100).alias("host_id"))
+        .agg(F.count("*").alias("current"))
+        .select(
+            "host_id",
+            "current",
+            F.greatest(F.lit(0).cast("long"), F.lit(10) - F.col("current")).alias("remaining"),
+        )
+    )
+
+
+SQL_A4 = """
+    SELECT user_id % 100 AS host_id, count(*) AS current,
+           CAST(greatest(0, 10 - count(*)) AS BIGINT) AS remaining
+    FROM events WHERE ts < TIMESTAMP '2024-01-01 01:00:00'
+    GROUP BY user_id % 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 / O2 — BFS order key + first-page limit
+# ---------------------------------------------------------------------------
+
+def q_o1_bfs_order(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("task"),
+        (F.col("event_id") % 4).alias("depth"),
+        "event_id",
+    )
+    w = Window.partitionBy("task").orderBy("depth", "event_id")
+    return ev.select(
+        "task", "event_id", F.row_number().over(w).cast("long").alias("fetch_seq")
+    )
+
+
+SQL_O1 = """
+    SELECT user_id % 10 AS task, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id % 10 ORDER BY event_id % 4, event_id) AS BIGINT) AS fetch_seq
+    FROM events
+"""
+
+
+def q_o2_first_page(spark, sf_dir):
+    return q_o1_bfs_order(spark, sf_dir).filter(F.col("fetch_seq") == 1).select(
+        "task", "event_id"
+    )
+
+
+SQL_O2 = """
+    SELECT task, event_id FROM (
+      SELECT user_id % 10 AS task, event_id,
+             row_number() OVER (PARTITION BY user_id % 10 ORDER BY event_id % 4, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops — frontier evolution
+# ---------------------------------------------------------------------------
+
+def q_set_frontier_evolution(spark, sf_dir):
+    ids = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("id"))
+    frontier = ids.filter(F.col("id") % 2 == 0)
+    fetched = ids.filter(F.col("id") % 4 == 0)
+    new = ids.filter(F.col("id") % 3 == 0)
+    seen = ids.filter(F.col("id") % 6 == 0)
+    return (
+        frontier.join(fetched, "id", "left_anti")
+        .unionByName(new.join(seen, "id", "left_anti"))
+        .distinct()
+    )
+
+
+SQL_SET = """
+    SELECT DISTINCT id FROM (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish health checks (join/agg machinery)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_Q3 = """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family over `documents`
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    return (
+        doc.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM documents GROUP BY md5(text)
+"""
+
+_MH_SEEDS = ["0", "1", "2", "3"]
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures over 8-char shingles (md5-based, engine-neutral).
+    At scale: shingling + hashing stays inside whole-stage codegen
+    (sequence/transform/array_min are all native expressions)."""
+    doc = load(spark, sf_dir, "documents")
+    cols = [
+        F.expr(
+            "array_min(transform(sequence(1, greatest(1, length(text)-7)),"
+            f" i -> md5(concat(substring(text, i, 8), '#{s}'))))"
+        ).alias(f"mh{s}")
+        for s in _MH_SEEDS
+    ]
+    return doc.select("doc_id", *cols)
+
+
+SQL_MINHASH = """
+    SELECT doc_id,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#0'))) AS mh0,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#1'))) AS mh1,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#2'))) AS mh2,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#3'))) AS mh3
+    FROM documents
+"""
+
+
+def q_dedup_lsh_buckets(spark, sf_dir):
+    """LSH banding: docs sharing a (mh0,mh1) band are near-dup candidates;
+    the groupBy IS the bucket join (no O(n^2) pair comparison)."""
+    sig = q_dedup_minhash_sig(spark, sf_dir)
+    return (
+        sig.withColumn("band", F.md5(F.concat_ws("|", "mh0", "mh1")))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_LSH = f"""
+    SELECT md5(mh0 || '|' || mh1) AS band, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM ({SQL_MINHASH})
+    GROUP BY md5(mh0 || '|' || mh1)
+    HAVING count(*) > 1
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over whitespace tokens: bit k is the sign of the sum
+    of (+1/-1) votes from hex digit k of each token's md5."""
+    doc = load(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token"),
+    ).withColumn("h", F.md5("token"))
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1))") - 1 >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{k}")
+        for k in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = sum(
+        [F.when(F.col(f"v{k}") >= 0, F.lit(2**k)).otherwise(F.lit(0)) for k in range(16)],
+        F.lit(0),
+    )
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"sum(CASE WHEN instr('0123456789abcdef', substr(md5(token), {k + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v{k}"
+    for k in range(16)
+)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN v{k} >= 0 THEN {2**k} ELSE 0 END" for k in range(16)
+)
+SQL_SIMHASH = f"""
+    SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM (
+      SELECT doc_id, {_SIMHASH_VOTES_SQL}
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY doc_id)
+"""
+
+
+def q_dedup_jaccard_adjacent(spark, sf_dir):
+    """Token-set Jaccard between doc i and doc i+1 (the pairwise kernel of
+    n-gram near-dup; candidate pairs at scale come from LSH buckets)."""
+    doc = load(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("token"),
+    )
+    a = tok.alias("a")
+    b = tok.withColumn("doc_id", F.col("doc_id") - 1).alias("b")
+    inter = (
+        a.join(b, ["doc_id", "token"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nxt = sizes.withColumn("doc_id", F.col("doc_id") - 1).withColumnRenamed("n", "n_next")
+    return (
+        sizes.join(nxt, "doc_id")
+        .join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n") + F.col("n_next") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_JACCARD = """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id, count(*) AS n_inter
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+      GROUP BY a.doc_id)
+    SELECT s.doc_id,
+           round(coalesce(i.n_inter, 0) * 1.0 / (s.n + s2.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM sizes s JOIN sizes s2 ON s2.doc_id = s.doc_id + 1
+    LEFT JOIN inter i ON i.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector — the exact
+    baseline; the LSH/IVF scale path is operators/similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = joined.select("vec_id", F.round(cos, 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+
+
+SQL_ANN = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos
+    FROM embeddings, q
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_neardup_adjacent(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e2"))
+    j = emb.join(nxt, "vec_id")
+    cos = _dot(F.col("embedding"), F.col("e2")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("e2"), F.col("e2")))
+    )
+    return j.select("vec_id", F.round(cos, 6).alias("cos_next"))
+
+
+SQL_ANN_NEARDUP = """
+    SELECT a.vec_id,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def q_text_langid(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    stops = ",".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(filter(split(text, ' '), x -> x <> ''), x -> x in ({stops})))")
+    ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    return doc.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+SQL_LANGID = """
+    SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+           CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents))
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    alnum = F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(n_chars > 0, (n_chars - alnum) / n_chars).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    return doc.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+    )
+
+
+SQL_QUALITY = """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+                      THEN length(text) * 1.0 / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text)
+                      ELSE 0.0 END, 6) AS punct_ratio
+    FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat(
+            F.substring(F.col("text"), 1, 16),
+            F.expr("substring(text, greatest(1, CAST(floor(length(text)/2) AS INT)), 16)"),
+            F.expr("substring(text, greatest(1, CAST(length(text)-15 AS INT)), 16)"),
+        )
+    )
+    return doc.select("doc_id", fp.alias("fp"))
+
+
+SQL_FINGERPRINT = """
+    SELECT doc_id,
+           md5(substr(text, 1, 16) ||
+               substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)), 16) ||
+               substr(text, greatest(1, CAST(length(text)-15 AS INT)), 16)) AS fp
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_canonicalize": q_p1_canonicalize,
+    "p2_host_extract": q_p2_host_extract,
+    "f1_internal_filter": q_f1_internal_filter,
+    "d1_seen_antijoin": q_d1_seen_antijoin,
+    "d2_first_occurrence": q_d2_first_occurrence,
+    "rl1_budget_rank": q_rl1_budget_rank,
+    "rl1_wait_time": q_rl1_wait_time,
+    "j2_policy_join": q_j2_policy_join,
+    "r1_error_classify": q_r1_error_classify,
+    "r2_retry_backoff": q_r2_retry_backoff,
+    "a1_result_agg": q_a1_result_agg,
+    "a2_success_rate": q_a2_success_rate,
+    "a4_domain_stats": q_a4_domain_stats,
+    "o1_bfs_order": q_o1_bfs_order,
+    "o2_first_page": q_o2_first_page,
+    "set_frontier_evolution": q_set_frontier_evolution,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_lsh_buckets": q_dedup_lsh_buckets,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard_adjacent": q_dedup_jaccard_adjacent,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_neardup_adjacent": q_ann_neardup_adjacent,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "p1_canonicalize": SQL_P1,
+    "p2_host_extract": SQL_P2,
+    "f1_internal_filter": SQL_F1,
+    "d1_seen_antijoin": SQL_D1,
+    "d2_first_occurrence": SQL_D2,
+    "rl1_budget_rank": SQL_RL1,
+    "rl1_wait_time": SQL_RL1_WAIT,
+    "j2_policy_join": SQL_J2,
+    "r1_error_classify": SQL_R1,
+    "r2_retry_backoff": SQL_R2,
+    "a1_result_agg": SQL_A1,
+    "a2_success_rate": SQL_A2,
+    "a4_domain_stats": SQL_A4,
+    "o1_bfs_order": SQL_O1,
+    "o2_first_page": SQL_O2,
+    "set_frontier_evolution": SQL_SET,
+    "tpch_q1_pricing": SQL_Q1,
+    "tpch_q3_topk": SQL_Q3,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_sig": SQL_MINHASH,
+    "dedup_lsh_buckets": SQL_LSH,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_jaccard_adjacent": SQL_JACCARD,
+    "ann_cosine_topk": SQL_ANN,
+    "ann_neardup_adjacent": SQL_ANN_NEARDUP,
+    "text_langid": SQL_LANGID,
+    "text_quality": SQL_QUALITY,
+    "text_fingerprint": SQL_FINGERPRINT,
+}

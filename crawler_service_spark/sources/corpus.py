@@ -120,6 +120,10 @@ def doc_record(i: int, blocks: list[tuple[int, int]], texts: list[str] | None = 
     fail_times = 1 if f == 0 else (2 if f == 1 else (3 if f == 2 else (4 if f == 3 else 0)))
     if status != 200:
         fail_times = 0
+    if i == lo:
+        # block starts are the seed URLs (build_seeds_df): keep them
+        # fetchable so every task's BFS actually grows
+        status, fail_times = 200, (1 if i % 2 else 0)
 
     # ---- out links (mostly in-block; dirty variants by position)
     degree = 3 + (i % 5)
