@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode runs the headline query suite at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line ``{"metric", "value", "unit": "sec", "queries", "sf"}``.
+
+``--job schedule`` runs only the north-rule job — canonicalize + dedup +
+politeness-schedule a common-host-skewed synthetic frontier — and reports
+URLs scheduled+deduped/sec. ``scripts/bench_scaling.py`` runs that job at
+two parallelism levels (local[8] vs local[32]) in clean subprocesses and
+writes the scaling-efficiency report to ``BENCH/BASELINE.md``.
+
+Every query is forced end-to-end with a noop sink
+(``df.write.format("noop")``) so Catalyst cannot prune work the way a
+bare ``count()`` would (it would drop column projections entirely).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HEADLINE = [
+    # crawler-shaped core (SURVEY §2)
+    "p1_canonicalize",
+    "d1_seen_antijoin",
+    "d2_first_occurrence",
+    "rl1_budget_rank",
+    "rl1_wait_time",
+    "o1_bfs_order",
+    # relational machinery health
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_buckets",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def build_spark(cpus: int, app: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synth_frontier(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
+    """Deterministic common-host-skewed frontier (Zipf(1) over hosts).
+
+    u = hash(id)/2^20 in [0,1); host = floor(n_hosts^u) has density ~ 1/x
+    — a few hot hosts dominate, per the BASELINE.json metric. URLs carry
+    the dirty-variant cycle exercised by the canonicalizer (ports, case,
+    trailing slash, unsorted query).
+    """
+    df = spark.range(n).withColumn(
+        "u", (F.pmod(F.xxhash64("id"), F.lit(1 << 20))) / F.lit(float(1 << 20))
+    )
+    host_id = F.floor(F.pow(F.lit(float(n_hosts)), F.col("u"))).cast("long")
+    k = host_id.cast("string")
+    nstr = F.col("id").cast("string")
+    v = F.col("id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://h"), k, F.lit(".example.com/p/"), nstr))
+        .when(v == 1, F.concat(F.lit("HTTPS://H"), k, F.lit(".EXAMPLE.COM/p/"), nstr))
+        .when(v == 2, F.concat(F.lit("https://h"), k, F.lit(".example.com:443/p/"), nstr))
+        .when(v == 3, F.concat(F.lit("https://h"), k, F.lit(".example.com/p/"), nstr, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://h"), k, F.lit(".example.com/p/"), nstr, F.lit("?b=2&a=1")))
+    )
+    return df.select(
+        F.col("id").alias("discovery_seq"),
+        F.lit(0).alias("depth"),
+        url.alias("url"),
+    )
+
+
+def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
+    """The north-rule job: canonicalize → in-batch dedup → seen anti-join
+    → per-host politeness rank/schedule, forced end-to-end."""
+    from crawler_service_spark.functions.urls import host_udf, make_canon_udf
+    from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+    from crawler_service_spark.operators.politeness import schedule_round
+
+    canon = make_canon_udf(sort_query=True)
+    frontier = synth_frontier(spark, n, n_hosts)
+    # a pre-existing seen set covering ~1/3 of the frontier (cached once;
+    # its build cost is excluded from the timed region)
+    seen = (
+        synth_frontier(spark, n, n_hosts)
+        .filter(F.col("discovery_seq") % 3 == 0)
+        .select(canon(F.col("url")).alias("canon_url"))
+    )
+    seen = seen.repartition(cpus, "canon_url").cache()
+    seen.count()
+
+    t0 = time.monotonic()
+    batch = frontier.withColumn("canon_url", canon(F.col("url"))).withColumn(
+        "host", host_udf(F.col("url"))
+    )
+    batch = first_occurrence(batch, ["canon_url"], ["discovery_seq"])
+    batch = anti_join_seen(batch, seen, ["canon_url"])
+    admitted, _ = schedule_round(
+        batch, None, default_limit=10, default_window_s=60,
+        round_epoch=0.0, priority_col="depth", shuffle_partitions=cpus,
+    )
+    force(admitted)
+    elapsed = time.monotonic() - t0
+    seen.unpersist()
+    return {
+        "n_urls": n,
+        "n_hosts": n_hosts,
+        "cpus": cpus,
+        "sec": round(elapsed, 3),
+        "urls_per_sec": round(n / elapsed, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--job", choices=["suite", "schedule"], default="suite")
+    ap.add_argument("--n-urls", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", 2_000_000)))
+    ap.add_argument("--n-hosts", type=int, default=10_000)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = 0.1
+
+    spark = build_spark(cpus, f"bench-{args.job}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.job == "schedule":
+        res = run_schedule_job(spark, args.n_urls, args.n_hosts, cpus)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    from crawler_service_spark.queries import SPARK_QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # the north-rule scheduling job is part of the headline suite
+    sched = run_schedule_job(spark, args.n_urls, args.n_hosts, cpus)
+    timings["frontier_schedule_dedup"] = sched["sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "frontier_urls_per_sec": sched["urls_per_sec"],
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
