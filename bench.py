@@ -50,14 +50,19 @@ HEADLINE = [
 
 
 def build_spark(cpus: int, app: str) -> SparkSession:
+    # shuffle partitions are sized to the DATA (fixed across parallelism
+    # levels), not to the core count: the scaling comparison must run the
+    # identical work graph at both levels, differing only in how many
+    # tasks execute concurrently
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -98,37 +103,53 @@ def synth_frontier(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
 
 
 def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
-    """The north-rule job: canonicalize → in-batch dedup → seen anti-join
-    → per-host politeness rank/schedule, forced end-to-end."""
-    from crawler_service_spark.functions.urls import host_udf, make_canon_udf
+    """The north-rule job, structured like one engine round (engine.py
+    crawl loop): the round's INPUT frontier arrives materialized (the
+    previous round's snapshot — persisted here, so the fast/slow canon
+    union and the rank's offset branch re-read memory, not lineage);
+    the built batch is materialized again before scheduling (the round
+    snapshot). Materializations use memory persist rather than the
+    single local disk: on a cluster the snapshot write is distributed
+    object-store IO that scales with executors, but one laptop disk
+    does not — a disk-bound stage would benchmark the disk, not the
+    engine (BENCH/BASELINE.md documents this proxy choice)."""
+    from crawler_service_spark.functions.urls import canonicalize_frame, host_native
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
     from crawler_service_spark.operators.politeness import schedule_round
 
-    canon = make_canon_udf(sort_query=True)
-    frontier = synth_frontier(spark, n, n_hosts)
+    frontier = synth_frontier(spark, n, n_hosts).persist()
+    frontier.count()
     # a pre-existing seen set covering ~1/3 of the frontier (cached once;
     # its build cost is excluded from the timed region)
     seen = (
-        synth_frontier(spark, n, n_hosts)
-        .filter(F.col("discovery_seq") % 3 == 0)
-        .select(canon(F.col("url")).alias("canon_url"))
+        canonicalize_frame(
+            synth_frontier(spark, n, n_hosts).filter(F.col("discovery_seq") % 3 == 0),
+            "url",
+        )
+        .select("canon_url")
     )
-    seen = seen.repartition(cpus, "canon_url").cache()
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    seen = seen.repartition(parts, "canon_url").persist()
     seen.count()
 
     t0 = time.monotonic()
-    batch = frontier.withColumn("canon_url", canon(F.col("url"))).withColumn(
-        "host", host_udf(F.col("url"))
+    batch = canonicalize_frame(frontier, "url").withColumn(
+        "host", host_native(F.col("url"))
     )
     batch = first_occurrence(batch, ["canon_url"], ["discovery_seq"])
-    batch = anti_join_seen(batch, seen, ["canon_url"])
+    batch = anti_join_seen(batch, seen, ["canon_url"]).persist()  # round snapshot
+    batch.count()
+
     admitted, _ = schedule_round(
         batch, None, default_limit=10, default_window_s=60,
-        round_epoch=0.0, priority_col="depth", shuffle_partitions=cpus,
+        round_epoch=0.0, priority_col="depth", shuffle_partitions=parts,
+        salt_width=max(1 << 14, n // 256),
     )
     force(admitted)
     elapsed = time.monotonic() - t0
     seen.unpersist()
+    batch.unpersist()
+    frontier.unpersist()
     return {
         "n_urls": n,
         "n_hosts": n_hosts,

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from crawler_service_spark.config import CrawlConfig
 from crawler_service_spark.functions.classify import resolve_fetch_outcome
-from crawler_service_spark.functions.urls import make_canon_udf, url_parts_udf
+from crawler_service_spark.functions.urls import (
+    canonicalize_frame,
+    make_canon_udf,
+    url_parts_udf,
+)
 from crawler_service_spark.operators.dedup import (
     BloomPrefilter,
     anti_join_seen,
@@ -107,8 +111,10 @@ class CrawlEngine:
     def _initial_frontier(self, seeds: DataFrame) -> DataFrame:
         n_seeds = seeds.count()
         f = (
-            seeds.withColumn("_parts", url_parts_udf(F.col("url")))
-            .withColumn("canon_url", self.canon(F.col("url")))
+            canonicalize_frame(
+                seeds.withColumn("_parts", url_parts_udf(F.col("url"))),
+                "url", "canon_url", self.cfg.sort_query_params,
+            )
             .select(
                 "task_id",
                 F.col("_parts.netloc").alias("seed_netloc"),
@@ -213,7 +219,9 @@ class CrawlEngine:
                 cand = filter_internal(cand, cfg)
                 if cfg.respect_robots:
                     cand = filter_robots(cand, self.policy)
-                cand = cand.withColumn("canon_url", self.canon(F.col("url")))
+                cand = canonicalize_frame(
+                    cand, "url", "canon_url", cfg.sort_query_params
+                )
                 cand = first_occurrence(
                     cand, ["task_id", "canon_url"], ["parent_seq", "link_pos"]
                 )

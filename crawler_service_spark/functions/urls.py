@@ -147,6 +147,101 @@ def host_native(url_col):
     return F.lower(F.regexp_replace(netloc, r":\d+$", ""))
 
 
+def native_canon_eligible(url_col):
+    """True where the JVM-native canonicalizer is provably byte-identical
+    to the `urllib.parse` UDF: printable-ASCII URL with a scheme, no
+    percent-encoding / '+' / ';' params / brackets / spaces (those hit
+    parse_qsl re-encoding or IPv6/params paths), and a query that is
+    either empty or strictly ``k=v(&k=v)*`` over urlencode-safe chars
+    (anything else gets re-encoded by ``urlencode`` and must take the
+    exact Python path)."""
+    # one anchored regex pass (the operator runs this once per branch of
+    # the fast/slow union — keep it a single scan of the string):
+    # scheme :// authority+path (printable ASCII minus %+;[]\?#)
+    # [? query of strict k=v pairs] [# printable-clean fragment]
+    cls = r"[\x21-\x7E&&[^%+;\[\]\\?#]]"
+    kv = r"[A-Za-z0-9_.~\-]+=[A-Za-z0-9_.~\-]*"
+    return url_col.rlike(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://" + cls + r"*"
+        r"(\?(" + kv + r"(&" + kv + r")*)?)?"
+        r"(#[\x21-\x7E&&[^%+;\[\]\\]]*)?$"
+    )
+
+
+def canonicalize_native(url_col, sort_query: bool = True):
+    """P1 canonicalization as pure JVM expressions (whole-stage codegen,
+    zero Python) — valid ONLY on `native_canon_eligible` rows, where it
+    is byte-identical to `canonicalize_url` (pinned by tests).
+
+    Query-param sort parity detail: `parse_qsl` sorts (key, value)
+    TUPLES, which differs from sorting raw ``k=v`` strings (the '=' byte
+    compares against key characters); sorting an array of
+    ``struct<k,v>`` reproduces tuple ordering exactly.
+    """
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    netloc = F.lower(
+        F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    netloc = (
+        F.when(
+            (scheme == "http") & netloc.endswith(":80"),
+            F.regexp_replace(netloc, r":80$", ""),
+        )
+        .when(
+            (scheme == "https") & netloc.endswith(":443"),
+            F.regexp_replace(netloc, r":443$", ""),
+        )
+        .otherwise(netloc)
+    )
+    path = F.regexp_extract(
+        url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    if sort_query:
+        pairs = F.transform(
+            F.split(query, "&"),
+            lambda p: F.struct(
+                F.substring_index(p, "=", 1).alias("k"),
+                F.regexp_replace(p, "^[^=]*=", "").alias("v"),
+            ),
+        )
+        sorted_q = F.array_join(
+            F.transform(F.array_sort(pairs), lambda s: F.concat(s["k"], F.lit("="), s["v"])),
+            "&",
+        )
+        query = F.when(query == "", query).otherwise(sorted_q)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def canonicalize_frame(
+    df,
+    url_col: str,
+    out_col: str = "canon_url",
+    sort_query: bool = True,
+):
+    """Hybrid P1: JVM-native fast path for eligible rows, exact pandas-UDF
+    fallback for the rest, unioned. On a real web frontier the eligible
+    share dominates, so the Arrow crossing disappears from the hot path;
+    equality is preserved because the native expression is byte-identical
+    on exactly the rows it is applied to. (The source is scanned twice —
+    fine for parquet-backed frontiers; cache upstream if computed.)"""
+    eligible = native_canon_eligible(F.col(url_col))
+    fast = df.filter(eligible).withColumn(
+        out_col, canonicalize_native(F.col(url_col), sort_query)
+    )
+    slow = df.filter(~eligible).withColumn(
+        out_col, make_canon_udf(sort_query)(F.col(url_col))
+    )
+    return fast.unionByName(slow)
+
+
 def skip_extension_predicate(path_col, extensions=None):
     """F1 skip-list: lowercase path ends with a skip extension
     (crawler.py:492-500)."""

@@ -29,13 +29,28 @@ def first_occurrence(
     key_cols: list[str],
     order_cols: list[str],
 ) -> DataFrame:
-    """D2: keep the first row per key in deterministic order."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("_dd_rn", F.row_number().over(w))
-        .filter(F.col("_dd_rn") == 1)
-        .drop("_dd_rn")
+    """D2: keep the first row per key in deterministic order.
+
+    Implemented as ``min(struct(order_cols…, payload))`` hash aggregation
+    rather than a window rank: the partial (map-side) aggregate collapses
+    duplicates BEFORE the shuffle, so on a dup-heavy link batch the
+    exchange carries one row per key instead of every candidate — the
+    window variant shuffles and sorts everything. Ties on ``order_cols``
+    break deterministically by the remaining columns (struct comparison
+    is lexicographic), which is strictly more deterministic than
+    ``row_number``'s arbitrary tie order. Payload columns must be
+    orderable (no maps) — true for frontier/link rows.
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    m = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.min(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.struct(*[F.col(c) for c in payload]).alias("_row"),
+            )
+        ).alias("_m")
     )
+    return m.select(*key_cols, "_m._row.*")
 
 
 class BloomPrefilter:

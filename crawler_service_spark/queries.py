@@ -831,6 +831,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
 }
 
+from crawler_service_spark.queries_ext import ORACLE_SQL_EXT, SPARK_QUERIES_EXT  # noqa: E402
+
+SPARK_QUERIES.update(SPARK_QUERIES_EXT)
+
 ORACLE_SQL: dict[str, str] = {
     "p1_canonicalize": SQL_P1,
     "p2_host_extract": SQL_P2,
@@ -861,3 +865,5 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
 }
+
+ORACLE_SQL.update(ORACLE_SQL_EXT)

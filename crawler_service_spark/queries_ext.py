@@ -1,0 +1,456 @@
+"""Extended driver-contract queries: similarity-search scale paths,
+multimodal plumbing, text analysis, streaming twins, and the
+interleaved-span shape from ``input_hint`` — each paired with a DuckDB
+oracle that re-derives the answer independently.
+
+Cross-engine determinism rules (beyond queries.py's):
+
+* LSH sign bits use **integer-quantized** vectors (round(x*1000) —
+  integer-valued doubles), so dot products are exact in any summation
+  order and a sign can never flip between engines;
+* IVF cell assignment rounds cosine to 6 decimals BEFORE ranking and
+  breaks ties by centroid id, so a 1-ulp float divergence cannot change
+  the argmax;
+* the rolling fingerprint folds in int64 (mod 1e9+7) — no float path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_service_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_TRIGRAMS,
+    bpe_token_count,
+    rolling_fingerprint,
+    trigram_hits,
+    trigram_lang_score,
+    ws_token_count,
+)
+from crawler_service_spark.operators.multimodal import attach_fake_media, decode_features, resize_plan
+from crawler_service_spark.operators.similarity import (
+    cosine,
+    deterministic_centroids,
+    lsh_candidate_buckets,
+    lsh_weights_sql_literal,
+    sign_weight,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+def q_text_langid_trigram(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    score = trigram_lang_score(F.col("text"))
+    return doc.select(
+        "doc_id",
+        trigram_hits(F.col("text")).alias("n_trigram_hits"),
+        F.round(score, 6).alias("lang_score"),
+        F.when(score > 1.0, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+_TRIGRAM_HITS_SQL = " + ".join(
+    f"(len(string_split(lower(text), '{g}')) - 1)" for g in LANG_TRIGRAMS
+)
+SQL_LANGID_TRIGRAM = f"""
+    SELECT doc_id,
+           CAST({_TRIGRAM_HITS_SQL} AS BIGINT) AS n_trigram_hits,
+           round(CASE WHEN length(text) > 0
+                      THEN ({_TRIGRAM_HITS_SQL}) * 100.0 / length(text)
+                      ELSE 0.0 END, 6) AS lang_score,
+           CASE WHEN length(text) > 0
+                 AND ({_TRIGRAM_HITS_SQL}) * 100.0 / length(text) > 1.0
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents
+"""
+
+
+def q_text_fingerprint_rolling(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    fp = F.when(F.length("text") == 0, F.lit(0).cast("long")).otherwise(
+        rolling_fingerprint("text")
+    )
+    return doc.select("doc_id", fp.alias("rolling_fp"))
+
+
+SQL_FINGERPRINT_ROLLING = """
+    SELECT doc_id,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(text)),
+                                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS BIGINT) AS rolling_fp
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: LSH buckets + IVF cells/probe
+# ---------------------------------------------------------------------------
+
+_N_PLANES, _DIM = 10, 64
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """Integer-quantized embedding (round(x*1000) as integer-valued
+    doubles): dot products become exact integer arithmetic."""
+    return emb.withColumn(
+        "q", F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000))
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _quantized(load(spark, sf_dir, "embeddings"))
+    return lsh_candidate_buckets(
+        emb.select("vec_id", F.col("q").alias("embedding")),
+        n_planes=_N_PLANES, dim=_DIM, id_col="vec_id",
+    )
+
+
+def _lsh_bits_sql() -> str:
+    cases = []
+    for p in range(_N_PLANES):
+        w = "[" + ",".join(str(sign_weight(p, d)) for d in range(_DIM)) + "]"
+        cases.append(
+            "CASE WHEN list_dot_product(q, CAST(" + w + " AS DOUBLE[])) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(cases)
+
+
+SQL_LSH_BUCKETS = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings)
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, {_lsh_bits_sql()} AS bucket FROM qv)
+    GROUP BY bucket HAVING count(*) > 1
+"""
+
+_N_CENTROIDS = 8
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+_IVF_CELLS_SQL = f"""
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.vec_id AS cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings c ON c.vec_id < {_N_CENTROIDS})
+      WHERE rn = 1
+"""
+
+
+def _ivf_cells(spark, sf_dir) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, _N_CENTROIDS)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def q_ann_ivf_cells(spark, sf_dir):
+    return (
+        _ivf_cells(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+SQL_IVF_CELLS = f"""
+    SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM ({_IVF_CELLS_SQL})
+    GROUP BY cell
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF probe: top-5 cosine neighbours of vec 0 searched ONLY within
+    vec 0's cell — the partition-pruned scale path (cell is a partition
+    column of the stored table at scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(spark, sf_dir)
+    qcell = cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("qc"))
+    members = cells.join(F.broadcast(qcell), cells.cell == qcell.qc).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = emb.join(members, "vec_id").crossJoin(F.broadcast(q))
+    scored = cand.select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(5)
+
+
+SQL_IVF_TOPK = f"""
+    WITH cells AS ({_IVF_CELLS_SQL}),
+    qcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+    members AS (SELECT vec_id FROM cells WHERE cell = (SELECT cell FROM qcell)),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos
+    FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
+    ORDER BY cos DESC, e.vec_id ASC LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_mm_media_meta(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    media = attach_fake_media(doc)
+    return media.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.length("media_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_MM_META = """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + doc_id % 48 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END AS BIGINT) AS n_frames,
+           CAST(octet_length(unhex(repeat(md5(text), 4))) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+def q_mm_resize_plan(spark, sf_dir):
+    media = attach_fake_media(load(spark, sf_dir, "documents"))
+    return resize_plan(media, max_dim=48)
+
+
+SQL_MM_RESIZE = """
+    SELECT media_id, width, height,
+           CAST(greatest(1, floor(width * s)) AS INT) AS target_w,
+           CAST(greatest(1, floor(height * s)) AS INT) AS target_h
+    FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST(16 + doc_id % 64 AS INT) AS width,
+             CAST(16 + doc_id % 48 AS INT) AS height,
+             least(1.0, 48.0 / greatest(16 + doc_id % 64, 16 + doc_id % 48)) AS s
+      FROM documents)
+"""
+
+
+def q_mm_decode_features(spark, sf_dir):
+    """mapInPandas decode stub over binary media; byte_mean is exact
+    (integer sum / count), entropy is checked in unit tests only."""
+    media = attach_fake_media(load(spark, sf_dir, "documents"))
+    return decode_features(media, allow_fake=True).select(
+        "media_id", "kind", "n_bytes", "byte_mean", "decoder"
+    )
+
+
+SQL_MM_DECODE = """
+    WITH hx AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                       repeat(md5(text), 4) AS h
+                FROM documents)
+    SELECT media_id, kind,
+           CAST(length(h) / 2 AS BIGINT) AS n_bytes,
+           round(list_sum(list_transform(generate_series(1, CAST(length(h)/2 AS INT)),
+                 i -> (instr('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(h, 2*i, 1)) - 1)))
+                 / (length(h) / 2.0), 6) AS byte_mean,
+           'stub' AS decoder
+    FROM hx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins (same expressions the streaming jobs use, run in batch
+# so the DuckDB oracle can check the window/session semantics)
+# ---------------------------------------------------------------------------
+
+def q_stream_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 100).alias("host_id"),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "host_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "host_id",
+            "n",
+        )
+    )
+
+
+SQL_STREAM_WINDOW = """
+    SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+           user_id % 100 AS host_id, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_stream_session_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 50).alias("uid"),
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "uid")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("sess.start")).alias("session_start_ms"),
+            "uid",
+            "n_events",
+        )
+    )
+
+
+SQL_STREAM_SESSION = """
+    WITH e AS (
+      SELECT ts, user_id % 50 AS uid,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    s AS (
+      SELECT ts, uid,
+             sum(is_start) OVER (PARTITION BY uid ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM e)
+    SELECT epoch_ms(min(ts)) AS session_start_ms, uid, count(*) AS n_events
+    FROM s GROUP BY uid, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interleaved span shape (input_hint): text chunks ⨯ media refs, exploded
+# ---------------------------------------------------------------------------
+
+_CHUNK = 40
+
+
+def q_spans_interleave(spark, sf_dir):
+    """Build the (kind, text, media_ref, offset) interleaved span sequence
+    per document (text chunk, media, text chunk, …) and flatten — the
+    exploded view of the `input_hint` spans array."""
+    doc = load(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.length("text") / F.lit(float(_CHUNK))).cast("int")
+    )
+    d = doc.select("doc_id", "text", n_chunks.alias("nc"))
+    d = d.withColumn("offset", F.explode(F.sequence(F.lit(0), F.col("nc") * 2 - 1)))
+    is_text = F.col("offset") % 2 == 0
+    chunk_idx = (F.col("offset") / 2).cast("int")
+    return d.select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        F.when(is_text, F.lit("text")).otherwise(F.lit("media")).alias("kind"),
+        F.when(is_text, F.substring(F.col("text"), chunk_idx * _CHUNK + 1, _CHUNK))
+         .otherwise(F.lit(None).cast("string")).alias("span_text"),
+        F.when(~is_text, F.md5(F.concat_ws(":", "doc_id", "offset")))
+         .otherwise(F.lit(None).cast("string")).alias("media_ref"),
+    )
+
+
+SQL_SPANS = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(1, CAST(ceil(length(text) / {float(_CHUNK)}) AS INT)) AS nc
+      FROM documents),
+    x AS (
+      SELECT doc_id, text, unnest(generate_series(0, nc * 2 - 1)) AS off
+      FROM d)
+    SELECT doc_id,
+           CAST(off AS INT) AS offset,
+           CASE WHEN off % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+           CASE WHEN off % 2 = 0
+                THEN substr(text, CAST(off / 2 AS INT) * {_CHUNK} + 1, {_CHUNK})
+                ELSE NULL END AS span_text,
+           CASE WHEN off % 2 = 1
+                THEN md5(CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR))
+                ELSE NULL END AS media_ref
+    FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_count": q_text_token_count,
+    "text_langid_trigram": q_text_langid_trigram,
+    "text_fingerprint_rolling": q_text_fingerprint_rolling,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_cells": q_ann_ivf_cells,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "mm_media_meta": q_mm_media_meta,
+    "mm_resize_plan": q_mm_resize_plan,
+    "mm_decode_features": q_mm_decode_features,
+    "stream_window_counts": q_stream_window_counts,
+    "stream_session_counts": q_stream_session_counts,
+    "spans_interleave": q_spans_interleave,
+}
+
+ORACLE_SQL_EXT: dict[str, str] = {
+    "text_token_count": SQL_TOKEN_COUNT,
+    "text_langid_trigram": SQL_LANGID_TRIGRAM,
+    "text_fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
+    "ann_lsh_buckets": SQL_LSH_BUCKETS,
+    "ann_ivf_cells": SQL_IVF_CELLS,
+    "ann_ivf_topk": SQL_IVF_TOPK,
+    "mm_media_meta": SQL_MM_META,
+    "mm_resize_plan": SQL_MM_RESIZE,
+    "mm_decode_features": SQL_MM_DECODE,
+    "stream_window_counts": SQL_STREAM_WINDOW,
+    "stream_session_counts": SQL_STREAM_SESSION,
+    "spans_interleave": SQL_SPANS,
+}

@@ -1,0 +1,97 @@
+"""Parity of the JVM-native canonicalization fast path vs the exact
+`urllib.parse` pandas UDF (the source of truth), and of the two-level
+skew-resistant host rank vs the single-window reference."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawler_service_spark.functions.urls import (
+    canonicalize_frame,
+    canonicalize_url,
+    host_native,
+    host_of,
+    native_canon_eligible,
+)
+from crawler_service_spark.operators.politeness import schedule_round
+
+DIRTY_URLS = [
+    "https://Host.Example.com/Path/",
+    "HTTPS://HOST.EXAMPLE.COM:443/p/1",
+    "http://host.example.com:80/",
+    "http://host.example.com:8080/x",
+    "https://host.example.com/p/1?b=2&a=1",
+    "https://host.example.com/p/1?b=2&a=1&a=0",
+    "https://host.example.com/p/1?a-b=1&a=2",          # '=' vs '-' tuple-sort case
+    "https://host.example.com/p/1?a=1&a1=2",           # '=' vs '1' tuple-sort case
+    "https://host.example.com/p/1?key=",               # blank value kept
+    "https://host.example.com/p#frag",
+    "https://host.example.com/",
+    "https://host.example.com",
+    "https://host.example.com/a//",
+    "https://host.example.com/p?x=%20y",               # percent → python path
+    "https://host.example.com/p?x=a+b",                # plus → python path
+    "https://host.example.com/p;params",               # params → python path
+    "https://[2001:db8::1]:443/p",                     # ipv6 → python path
+    "not a url at all",
+    "ftp://files.example.com/x/",
+    "https://host.example.com/p?weird?=1",             # '?' in key → python path
+]
+
+
+def test_native_matches_python_on_eligible(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": DIRTY_URLS}))
+    rows = (
+        canonicalize_frame(df, "url", "canon_url", sort_query=True)
+        .withColumn("eligible", native_canon_eligible(F.col("url")))
+        .collect()
+    )
+    assert len(rows) == len(DIRTY_URLS)
+    n_fast = 0
+    for r in rows:
+        expected = canonicalize_url(r["url"], sort_query=True)
+        assert r["canon_url"] == expected, (r["url"], r["canon_url"], expected)
+        n_fast += bool(r["eligible"])
+    # the fast path must actually cover the clean majority
+    assert n_fast >= 12
+
+
+def test_native_matches_python_without_sort(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": DIRTY_URLS}))
+    rows = canonicalize_frame(df, "url", "canon_url", sort_query=False).collect()
+    for r in rows:
+        assert r["canon_url"] == canonicalize_url(r["url"], sort_query=False)
+
+
+def test_host_native_matches_python(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": DIRTY_URLS}))
+    rows = df.select(
+        "url", host_native(F.col("url")).alias("h"),
+        native_canon_eligible(F.col("url")).alias("eligible"),
+    ).collect()
+    for r in rows:
+        if r["eligible"]:
+            assert r["h"] == host_of(r["url"]), r["url"]
+
+
+def test_skew_rank_matches_window_rank(spark):
+    # zipf-ish: host h appears ~1/h as often; plus a mega-hot host
+    rows = []
+    seq = 0
+    for h in range(1, 20):
+        for _ in range(200 // h):
+            rows.append(("h%d" % h, 0, seq))
+            seq += 1
+    for _ in range(500):
+        rows.append(("hot", 0, seq))
+        seq += 1
+    df = spark.createDataFrame(rows, "host string, depth int, discovery_seq long")
+    # tiny salt_width so hot hosts genuinely span many salt buckets
+    a, _ = schedule_round(df, None, skew_safe=True, shuffle_partitions=8,
+                          salt_width=64)
+    b, _ = schedule_round(df, None, skew_safe=False, shuffle_partitions=8)
+    ka = {(r["host"], r["discovery_seq"]): (r["host_rank"], r["virtual_fetch_time"])
+          for r in a.collect()}
+    kb = {(r["host"], r["discovery_seq"]): (r["host_rank"], r["virtual_fetch_time"])
+          for r in b.collect()}
+    assert ka == kb
+    assert len(ka) == len(rows)

@@ -1,0 +1,99 @@
+"""Structured Streaming jobs: windowed counts (file source, AvailableNow
+→ memory sink) vs batch twin; host budget via applyInPandasWithState."""
+
+import shutil
+import tempfile
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.streaming import (
+    host_budget_state,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_fetch_log(spark, d):
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        host = f"h{i % 7}"
+        rows.append((f"https://{host}/p/{i}", host, base + timedelta(seconds=i * 7)))
+    df = spark.createDataFrame(rows, "url string, host string, ts timestamp")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return df
+
+
+def _run_stream(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    batch = _write_fetch_log(spark, stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    name = "win_" + uuid.uuid4().hex[:8]
+    out = _run_stream(
+        spark, windowed_event_counts(stream, window="60 seconds"), name, "append"
+    )
+    got = {
+        (r["window_start"], r["host"]): r["n"]
+        for r in out.collect()
+    }
+    expected = {
+        (r["window_start"], r["host"]): r["n"]
+        for r in (
+            batch.groupBy(F.window("ts", "60 seconds").alias("w"), "host")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "host", "n")
+            .collect()
+        )
+    }
+    # append mode emits only windows the watermark has closed: emitted
+    # counts must match the batch twin exactly, and the held-back tail is
+    # exactly the windows within `watermark` of the max event time.
+    assert got.items() <= expected.items() and len(got) > 10
+    max_ts = max(r["ts"] for r in batch.collect())
+    import datetime as _dt
+    cutoff = max_ts - _dt.timedelta(minutes=10)
+    held_back = set(expected) - set(got)
+    assert held_back and all(ws + _dt.timedelta(seconds=60) > cutoff for ws, _ in held_back)
+
+
+def test_host_budget_state_limits_admissions(spark, stream_dir):
+    batch = _write_fetch_log(spark, stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    name = "budget_" + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, host_budget_state(stream, limit=10), name, "append")
+    rows = out.collect()
+    assert len(rows) == 300
+    per_host_admitted = {}
+    for r in rows:
+        per_host_admitted.setdefault(r["host"], 0)
+        per_host_admitted[r["host"]] += r["admitted"]
+    # every host saw ~43 urls but admits exactly 10
+    assert all(v == 10 for v in per_host_admitted.values())
+    # admit_seq is a dense 1..n per host and admission = first 10 by ts
+    by_host = {}
+    for r in sorted(rows, key=lambda r: (r["host"], r["ts"])):
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        assert [r["admit_seq"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r["admitted"] == (1 if r["admit_seq"] <= 10 else 0) for r in rs)
