@@ -117,6 +117,24 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
     from crawler_service_spark.operators.politeness import schedule_round
 
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+
+    def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
+        """Identical pipeline for warmup and the measured run."""
+        b = canonicalize_frame(src, "url").withColumn(
+            "host", host_native(F.col("url"))
+        )
+        b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
+        b = anti_join_seen(b, seen_df, ["canon_url"]).persist()  # round snapshot
+        b.count()
+        admitted, _ = schedule_round(
+            b, None, default_limit=10, default_window_s=60,
+            round_epoch=0.0, priority_col="depth", shuffle_partitions=parts,
+            salt_width=max(1 << 14, n_rows // 256),
+        )
+        force(admitted)
+        return b
+
     frontier = synth_frontier(spark, n, n_hosts).persist()
     frontier.count()
     # a pre-existing seen set covering ~1/3 of the frontier (cached once;
@@ -128,24 +146,19 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
         )
         .select("canon_url")
     )
-    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
     seen = seen.repartition(parts, "canon_url").persist()
     seen.count()
 
-    t0 = time.monotonic()
-    batch = canonicalize_frame(frontier, "url").withColumn(
-        "host", host_native(F.col("url"))
-    )
-    batch = first_occurrence(batch, ["canon_url"], ["discovery_seq"])
-    batch = anti_join_seen(batch, seen, ["canon_url"]).persist()  # round snapshot
-    batch.count()
+    # warmup (excluded): same pipeline at 1/40 scale — forks the Python
+    # worker pool, JIT-compiles the generated code, and exercises the
+    # broadcast path once, so the timed region measures throughput, not
+    # first-use setup (which is identical at every parallelism level and
+    # would otherwise swamp the faster one)
+    wf = synth_frontier(spark, max(100_000, n // 40), n_hosts)
+    run_pipeline(wf, seen, max(100_000, n // 40)).unpersist()
 
-    admitted, _ = schedule_round(
-        batch, None, default_limit=10, default_window_s=60,
-        round_epoch=0.0, priority_col="depth", shuffle_partitions=parts,
-        salt_width=max(1 << 14, n // 256),
-    )
-    force(admitted)
+    t0 = time.monotonic()
+    batch = run_pipeline(frontier, seen, n)
     elapsed = time.monotonic() - t0
     seen.unpersist()
     batch.unpersist()
@@ -159,9 +172,91 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
     }
 
 
+def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
+    """One FULL engine round: schedule core (canonicalize → dedup → seen
+    anti-join → politeness rank) PLUS the fetch join against a content
+    store and the mapInPandas extraction stage (X1–X8) — the
+    compute-dense half of a real crawl round. The schedule-only job
+    isolates the shuffle core; this one is the engine's representative
+    per-round workload (extraction dominates at real page sizes, and
+    Arrow-batched Python workers scale near-linearly with cores)."""
+    from crawler_service_spark.config import CrawlConfig
+    from crawler_service_spark.functions.urls import canonicalize_frame, host_native
+    from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+    from crawler_service_spark.operators.extract import extract_pages
+    from crawler_service_spark.operators.politeness import schedule_round
+
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    cfg = CrawlConfig()
+
+    def mk_store(src: DataFrame) -> DataFrame:
+        nstr = F.col("discovery_seq").cast("string")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), nstr,
+            F.lit("</title><meta name=\"description\" content=\"synthetic page "), nstr,
+            F.lit("\"></head><body><h1>Heading "), nstr, F.lit("</h1><p>"),
+            F.repeat(F.concat(F.lit("token"), nstr, F.lit(" body text ")), 12),
+            F.lit("</p><img src=\"https://img.example.com/"), nstr,
+            F.lit(".png\" alt=\"pic\"><a href=\"https://h1.example.com/p/"), nstr,
+            F.lit("\">go</a><a href=\"https://h2.example.com/p/"), nstr,
+            F.lit("1\">go</a></body></html>"),
+        )
+        return canonicalize_frame(src, "url").select("canon_url", html.alias("html"))
+
+    def run_pipeline(src: DataFrame, seen_df: DataFrame, store_df: DataFrame,
+                     n_rows: int) -> None:
+        b = canonicalize_frame(src, "url").withColumn(
+            "host", host_native(F.col("url"))
+        )
+        b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
+        b = anti_join_seen(b, seen_df, ["canon_url"]).persist()  # round snapshot
+        b.count()   # schedule's hot/cold branches re-read memory, not lineage
+        admitted, _ = schedule_round(
+            b, None, priority_col="depth", shuffle_partitions=parts,
+            salt_width=max(1 << 14, n_rows // 256),
+        )
+        fetched = (
+            admitted.join(store_df, "canon_url", "left")
+            .withColumn("is_error", F.col("html").isNull())
+        )
+        pages = extract_pages(fetched, cfg)
+        force(pages.select("canon_url", "title", "text_content", "links", "spans"))
+        b.unpersist()
+
+    frontier = synth_frontier(spark, n, n_hosts).persist()
+    frontier.count()
+    seen = (
+        canonicalize_frame(
+            synth_frontier(spark, n, n_hosts).filter(F.col("discovery_seq") % 3 == 0),
+            "url",
+        ).select("canon_url")
+    )
+    seen = seen.repartition(parts, "canon_url").persist()
+    seen.count()
+    store = mk_store(synth_frontier(spark, n, n_hosts)).persist()
+    store.count()
+
+    # warmup at 1/40 scale (excluded) — see run_schedule_job
+    wn = max(50_000, n // 40)
+    run_pipeline(synth_frontier(spark, wn, n_hosts), seen, store, wn)
+
+    t0 = time.monotonic()
+    run_pipeline(frontier, seen, store, n)
+    elapsed = time.monotonic() - t0
+    for df in (frontier, seen, store):
+        df.unpersist()
+    return {
+        "n_urls": n,
+        "n_hosts": n_hosts,
+        "cpus": cpus,
+        "sec": round(elapsed, 3),
+        "urls_per_sec": round(n / elapsed, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--job", choices=["suite", "schedule"], default="suite")
+    ap.add_argument("--job", choices=["suite", "schedule", "round"], default="suite")
     ap.add_argument("--n-urls", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", 2_000_000)))
     ap.add_argument("--n-hosts", type=int, default=10_000)
     args = ap.parse_args()
@@ -176,8 +271,10 @@ def main() -> None:
     spark = build_spark(cpus, f"bench-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.job == "schedule":
-        res = run_schedule_job(spark, args.n_urls, args.n_hosts, cpus)
+    if args.job in ("schedule", "round"):
+        fn = run_schedule_job if args.job == "schedule" else run_round_job
+        res = fn(spark, args.n_urls, args.n_hosts, cpus)
+        res["job"] = args.job
         print(json.dumps(res))
         spark.stop()
         return
@@ -191,9 +288,12 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # the north-rule scheduling job is part of the headline suite
+    # the north-rule scheduling job + one full engine round are part of
+    # the headline suite
     sched = run_schedule_job(spark, args.n_urls, args.n_hosts, cpus)
     timings["frontier_schedule_dedup"] = sched["sec"]
+    rnd = run_round_job(spark, max(200_000, args.n_urls // 8), args.n_hosts, cpus)
+    timings["frontier_full_round"] = rnd["sec"]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -203,6 +303,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "frontier_urls_per_sec": sched["urls_per_sec"],
+        "round_urls_per_sec": rnd["urls_per_sec"],
         "cpus": cpus,
     }))
     spark.stop()
