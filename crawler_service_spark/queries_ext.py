@@ -422,6 +422,164 @@ SQL_SPANS = f"""
 
 
 # ---------------------------------------------------------------------------
+# J1+F1 link pipeline, X extraction round trip, robots filter
+# ---------------------------------------------------------------------------
+
+def q_j1_link_pipeline(spark, sf_dir):
+    """J1 posexplode → F1 internal filter → P1 canonicalize, end to end
+    over synthetic link arrays (the per-round link-expansion pipeline)."""
+    from crawler_service_spark.functions.urls import canonicalize_frame
+
+    orders = load(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 50).cast("string")
+    links = F.array(
+        F.concat(F.lit("https://s"), k, F.lit(".example.com/a/"), F.col("o_orderkey").cast("string")),
+        F.concat(F.lit("https://s"), k, F.lit(".example.com/b/"), F.col("o_orderkey").cast("string"), F.lit("/")),
+        F.concat(F.lit("https://s"), k, F.lit(".example.com/c-"), F.col("o_orderkey").cast("string"), F.lit(".css")),
+        F.concat(F.lit("https://other.example.net/d/"), F.col("o_orderkey").cast("string")),
+        F.concat(F.lit("https://s"), k, F.lit(".example.com/e/"), F.col("o_orderkey").cast("string"), F.lit("#x")),
+    )
+    pages = orders.select(
+        F.col("o_orderkey").alias("parent_seq"),
+        F.concat(F.lit("s"), k, F.lit(".example.com")).alias("seed_netloc"),
+        links.alias("links"),
+    )
+    cand = pages.select(
+        "parent_seq", "seed_netloc",
+        F.posexplode("links").alias("link_pos", "url"),
+    )
+    netloc = F.regexp_extract("url", r"^https?://([^/?#]*)", 1)
+    path = F.regexp_extract("url", r"^https?://[^/?#]*([^?#]*)", 1)
+    frag = F.regexp_extract("url", r"#(.*)$", 1)
+    kept = cand.filter(
+        (netloc == F.col("seed_netloc"))
+        & ~F.lower(path).rlike(r"\.(css|js|pdf|jpg|png|zip)$")
+        & (frag == "")
+    )
+    return canonicalize_frame(kept, "url").select(
+        "parent_seq",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        "canon_url",
+    )
+
+
+SQL_J1_PIPELINE = """
+    WITH pages AS (
+      SELECT o_orderkey AS parent_seq,
+             's' || CAST(o_orderkey % 50 AS VARCHAR) || '.example.com' AS seed_netloc,
+             ['https://s' || CAST(o_orderkey % 50 AS VARCHAR) || '.example.com/a/' || CAST(o_orderkey AS VARCHAR),
+              'https://s' || CAST(o_orderkey % 50 AS VARCHAR) || '.example.com/b/' || CAST(o_orderkey AS VARCHAR) || '/',
+              'https://s' || CAST(o_orderkey % 50 AS VARCHAR) || '.example.com/c-' || CAST(o_orderkey AS VARCHAR) || '.css',
+              'https://other.example.net/d/' || CAST(o_orderkey AS VARCHAR),
+              'https://s' || CAST(o_orderkey % 50 AS VARCHAR) || '.example.com/e/' || CAST(o_orderkey AS VARCHAR) || '#x'
+             ] AS links
+      FROM orders),
+    cand AS (
+      SELECT parent_seq, seed_netloc,
+             CAST(unnest(generate_series(0, len(links) - 1)) AS BIGINT) AS link_pos,
+             unnest(links) AS url
+      FROM pages)
+    SELECT parent_seq, link_pos,
+           CASE WHEN url LIKE '%/' THEN rtrim(url, '/') ELSE url END AS canon_url
+    FROM cand
+    WHERE regexp_extract(url, '^https?://([^/?#]*)', 1) = seed_netloc
+      AND NOT regexp_matches(lower(regexp_extract(url, '^https?://[^/?#]*([^?#]*)', 1)),
+                             '\\.(css|js|pdf|jpg|png|zip)$')
+      AND regexp_extract(url, '#(.*)$', 1) = ''
+"""
+
+
+def q_x_extract_roundtrip(spark, sf_dir):
+    """X1–X8 through the REAL mapInPandas extraction stage: render a page
+    natively from `documents`, extract title/meta/text/first-link back;
+    the oracle re-derives the same fields with SQL regexes."""
+    from crawler_service_spark.config import CrawlConfig
+    from crawler_service_spark.operators.extract import extract_pages
+
+    CFG = CrawlConfig()
+    doc = load(spark, sf_dir, "documents")
+    safe = F.regexp_replace(F.col("text"), r"[<>&\"]", " ")
+    n = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), n,
+        F.lit('</title><meta name="description" content="about '), n,
+        F.lit('"></head><body><h1>H'), n, F.lit("</h1><p>"), safe,
+        F.lit('</p><a href="https://x.example.com/p/'), n,
+        F.lit('">go</a></body></html>'),
+    )
+    src = doc.select(
+        "doc_id",
+        F.concat(F.lit("https://x.example.com/d/"), n).alias("url"),
+        html.alias("html"),
+        F.lit(False).alias("is_error"),
+    )
+    pages = extract_pages(src, CFG)
+    return pages.select(
+        "doc_id",
+        "title",
+        "meta_description",
+        "text_content",
+        F.element_at("links", 1).alias("first_link"),
+        F.size("links").cast("long").alias("n_links"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+SQL_X_ROUNDTRIP = """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'about ' || CAST(doc_id AS VARCHAR) AS meta_description,
+           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' H' ||
+                CAST(doc_id AS VARCHAR) || ' ' ||
+                regexp_replace(text, '[<>&"]', ' ', 'g') || ' go', '\\s+', ' ', 'g')) AS text_content,
+           'https://x.example.com/p/' || CAST(doc_id AS VARCHAR) AS first_link,
+           CAST(1 AS BIGINT) AS n_links,
+           CAST(5 AS BIGINT) AS n_spans
+    FROM documents
+"""
+
+
+def q_robots_filter(spark, sf_dir):
+    """North-rule robots disallow-prefix filter as a broadcast anti
+    pattern (operators/links.py filter_robots semantics)."""
+    from crawler_service_spark.operators.links import filter_robots
+
+    orders = load(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 20).cast("string")
+    v = F.col("o_orderkey") % 3
+    path = (
+        F.when(v == 0, F.concat(F.lit("/private/x/"), F.col("o_orderkey").cast("string")))
+        .when(v == 1, F.concat(F.lit("/admin/"), F.col("o_orderkey").cast("string")))
+        .otherwise(F.concat(F.lit("/public/"), F.col("o_orderkey").cast("string")))
+    )
+    cand = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+        path.alias("path"),
+    )
+    hosts = [f"h{i}.example.com" for i in range(20)]
+    policy = spark.createDataFrame(
+        [(h, ["/private/"] if i % 2 == 0 else ["/private/", "/admin/"])
+         for i, h in enumerate(hosts)],
+        "host string, disallow_prefixes array<string>",
+    )
+    return filter_robots(cand, policy).select("id", "host", "path")
+
+
+SQL_ROBOTS = """
+    SELECT o_orderkey AS id,
+           'h' || CAST(o_orderkey % 20 AS VARCHAR) || '.example.com' AS host,
+           CASE o_orderkey % 3
+             WHEN 0 THEN '/private/x/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 1 THEN '/admin/' || CAST(o_orderkey AS VARCHAR)
+             ELSE '/public/' || CAST(o_orderkey AS VARCHAR) END AS path
+    FROM orders
+    WHERE NOT (o_orderkey % 3 = 0)                      -- /private/ always blocked
+      AND NOT (o_orderkey % 3 = 1 AND (o_orderkey % 20) % 2 = 1)  -- /admin/ on odd-policy hosts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -438,6 +596,9 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_counts": q_stream_window_counts,
     "stream_session_counts": q_stream_session_counts,
     "spans_interleave": q_spans_interleave,
+    "j1_link_pipeline": q_j1_link_pipeline,
+    "x_extract_roundtrip": q_x_extract_roundtrip,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -453,4 +614,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "stream_window_counts": SQL_STREAM_WINDOW,
     "stream_session_counts": SQL_STREAM_SESSION,
     "spans_interleave": SQL_SPANS,
+    "j1_link_pipeline": SQL_J1_PIPELINE,
+    "x_extract_roundtrip": SQL_X_ROUNDTRIP,
+    "robots_filter": SQL_ROBOTS,
 }
