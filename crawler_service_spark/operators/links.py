@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_service_spark.config import CrawlConfig
-from crawler_service_spark.functions.urls import url_parts_udf
+from crawler_service_spark.functions.urls import (
+    native_canon_eligible,
+    url_parts_udf,
+)
 
 
 def expand_links(pages: DataFrame) -> DataFrame:
@@ -39,24 +42,56 @@ def expand_links(pages: DataFrame) -> DataFrame:
 
 
 def filter_internal(candidates: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """F1 + F3: keep same-seed-netloc, non-skip, fragment-free http(s) links."""
+    """F1 + F3: keep same-seed-netloc, non-skip, fragment-free http(s)
+    links.
+
+    Hybrid like P1 (`canonicalize_frame`): links are the highest-volume
+    rows of a round (fan-out ≫ pages), so eligible URLs take a pure
+    regex/codegen path — scheme/netloc/path/fragment extraction is
+    byte-identical to `urlparse` on `native_canon_eligible` rows — and
+    only the weird remainder pays the Arrow UDF crossing.
+
+    NB: the reference compares raw netloc (case-sensitive,
+    crawler.py:487); corpus URLs keep hosts lowercase so engine and
+    oracle agree — both branches expose raw netloc semantics plus the
+    lowercased, port-stripped host.
+    """
     alternation = "|".join(e.lstrip(".") for e in cfg.skip_extensions)
-    # NB: the reference compares raw netloc (case-sensitive,
-    # crawler.py:487); corpus URLs keep hosts lowercase so engine and
-    # oracle agree — the udf exposes both netloc and lowercased host.
-    keep = (
+    eligible = native_canon_eligible(F.col("url"))
+
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    netloc = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    frag = F.regexp_extract("url", r"#(.*)$", 1)
+    keep_native = (
+        scheme.isin("http", "https")
+        & (netloc == F.col("seed_netloc"))
+        & ~F.lower(path).rlike(r"\.(" + alternation + r")$")
+        & (frag == "")
+    )
+    fast = (
+        candidates.filter(eligible)
+        .filter(keep_native)
+        # host_of semantics: lowercase netloc, text before the first ':'
+        .withColumn("host", F.lower(F.substring_index(netloc, ":", 1)))
+        .withColumn("path", path)
+    )
+
+    keep_udf = (
         F.col("_parts.scheme").isin("http", "https")
         & (F.col("_parts.netloc") == F.col("seed_netloc"))
         & ~F.lower(F.col("_parts.path")).rlike(r"\.(" + alternation + r")$")
         & (F.col("_parts.fragment") == "")
     )
-    return (
-        candidates.withColumn("_parts", url_parts_udf(F.col("url")))
-        .filter(keep)
+    slow = (
+        candidates.filter(~eligible)
+        .withColumn("_parts", url_parts_udf(F.col("url")))
+        .filter(keep_udf)
         .withColumn("host", F.col("_parts.host"))
         .withColumn("path", F.col("_parts.path"))
         .drop("_parts")
     )
+    return fast.unionByName(slow)
 
 
 def filter_robots(candidates: DataFrame, policy: DataFrame | None) -> DataFrame:

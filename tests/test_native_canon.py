@@ -73,6 +73,42 @@ def test_host_native_matches_python(spark):
             assert r["h"] == host_of(r["url"]), r["url"]
 
 
+def test_filter_internal_matches_oracle_predicate(spark):
+    """Hybrid F1 filter ≡ the oracle's urlparse-based predicate on both
+    eligible and ineligible URLs."""
+    import pandas as pd
+
+    from crawler_service_spark.config import CrawlConfig
+    from crawler_service_spark.operators.links import filter_internal
+    from crawler_service_spark.oracle import _is_internal_link
+
+    cfg = CrawlConfig()
+    seed = "https://host.example.com/page/0"
+    urls = DIRTY_URLS + [
+        "https://host.example.com/ok/page",
+        "https://host.example.com/doc.PDF",
+        "http://host.example.com/other",        # http scheme, same netloc
+        "https://HOST.example.com/case",        # netloc case mismatch → drop
+        "https://host.example.com:443/port",    # raw netloc mismatch → drop
+        "https://host.example.com/x#f",         # fragment → drop
+        "mailto:someone@example.com",
+        "https://host.example.com/style.css",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "url": urls,
+            "seed_netloc": ["host.example.com"] * len(urls),
+            "parent_seq": range(len(urls)),
+            "depth": [1] * len(urls),
+            "link_pos": range(len(urls)),
+            "task_id": ["t"] * len(urls),
+        })
+    )
+    kept = {r["url"] for r in filter_internal(df, cfg).collect()}
+    expected = {u for u in urls if _is_internal_link(seed, u, cfg)}
+    assert kept == expected
+
+
 def test_skew_rank_matches_window_rank(spark):
     # zipf-ish: host h appears ~1/h as often; plus a mega-hot host
     rows = []
