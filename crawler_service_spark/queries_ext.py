@@ -422,6 +422,86 @@ SQL_SPANS = f"""
 
 
 # ---------------------------------------------------------------------------
+# End-to-end near-dup: MinHash LSH candidates → pairwise token Jaccard
+# ---------------------------------------------------------------------------
+
+def q_dedup_lsh_jaccard_pairs(spark, sf_dir):
+    """The full near-dup pipeline at scale shape: LSH banding proposes
+    candidate PAIRS (bucket self-join — never O(n²)), then the exact
+    token-set Jaccard scores only those pairs."""
+    from crawler_service_spark.queries import q_dedup_minhash_sig
+
+    sig = q_dedup_minhash_sig(spark, sf_dir).withColumn(
+        "band", F.md5(F.concat_ws("|", "mh0", "mh1"))
+    ).select("doc_id", "band")
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    doc = load(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("token"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    from crawler_service_spark.queries import SQL_MINHASH
+
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, md5(mh0 || '|' || mh1) AS band FROM ({SQL_MINHASH})),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p JOIN tok ta ON ta.doc_id = p.doc_a
+                   JOIN tok tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b,
+           round(coalesce(i.n_inter, 0) * 1.0 /
+                 (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # J1+F1 link pipeline, X extraction round trip, robots filter
 # ---------------------------------------------------------------------------
 
@@ -599,6 +679,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_link_pipeline": q_j1_link_pipeline,
     "x_extract_roundtrip": q_x_extract_roundtrip,
     "robots_filter": q_robots_filter,
+    "dedup_lsh_jaccard_pairs": q_dedup_lsh_jaccard_pairs,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -617,4 +698,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "j1_link_pipeline": SQL_J1_PIPELINE,
     "x_extract_roundtrip": SQL_X_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS,
+    "dedup_lsh_jaccard_pairs": _sql_lsh_pairs(),
 }
