@@ -62,6 +62,10 @@ def build_spark(cpus: int, app: str) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # string-keyed fetch joins: hash join beats sort-merge (no sort
+        # of html-bearing rows; measured ~2x on the store join) and
+        # spills gracefully on Spark 3+
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -71,6 +75,22 @@ def build_spark(cpus: int, app: str) -> SparkSession:
 
 def force(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def settle(spark: SparkSession) -> None:
+    """Drain leftover state between warmup and the timed region: measured
+    back-to-back identical runs in one JVM swing 3.7s -> 24.4s because
+    unpersist is async and GC debt from the previous run lands in the
+    next one. Blocking unpersist + forced GC + a short pause restores
+    run-to-run stability (~3s repeatable)."""
+    # two GC cycles with a pause: the first GC also kicks the
+    # ContextCleaner into deleting accumulated shuffle files/broadcasts —
+    # that deletion is async and must drain BEFORE the timed region, not
+    # during it
+    spark._jvm.System.gc()
+    time.sleep(2.0)
+    spark._jvm.System.gc()
+    time.sleep(3.0)
 
 
 def synth_frontier(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
@@ -155,7 +175,8 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
     # first-use setup (which is identical at every parallelism level and
     # would otherwise swamp the faster one)
     wf = synth_frontier(spark, max(100_000, n // 40), n_hosts)
-    run_pipeline(wf, seen, max(100_000, n // 40)).unpersist()
+    run_pipeline(wf, seen, max(100_000, n // 40)).unpersist(True)
+    settle(spark)
 
     t0 = time.monotonic()
     batch = run_pipeline(frontier, seen, n)
@@ -201,7 +222,11 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
             F.lit("\">go</a><a href=\"https://h2.example.com/p/"), nstr,
             F.lit("1\">go</a></body></html>"),
         )
-        return canonicalize_frame(src, "url").select("canon_url", html.alias("html"))
+        return (
+            canonicalize_frame(src, "url")
+            .select("canon_url", html.alias("html"))
+            .repartition(parts, "canon_url")   # bucketed-store analog
+        )
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, store_df: DataFrame,
                      n_rows: int) -> None:
@@ -218,10 +243,13 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
         fetched = (
             admitted.join(store_df, "canon_url", "left")
             .withColumn("is_error", F.col("html").isNull())
+            # AQE coalesces by bytes; extraction cost is per row — keep
+            # the Arrow stage at full parallelism (see engine.py)
+            .repartition(parts)
         )
         pages = extract_pages(fetched, cfg)
         force(pages.select("canon_url", "title", "text_content", "links", "spans"))
-        b.unpersist()
+        b.unpersist(True)
 
     frontier = synth_frontier(spark, n, n_hosts).persist()
     frontier.count()
@@ -239,6 +267,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
     # warmup at 1/40 scale (excluded) — see run_schedule_job
     wn = max(50_000, n // 40)
     run_pipeline(synth_frontier(spark, wn, n_hosts), seen, store, wn)
+    settle(spark)
 
     t0 = time.monotonic()
     run_pipeline(frontier, seen, store, n)
