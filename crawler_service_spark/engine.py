@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_service_spark.config import CrawlConfig
@@ -205,7 +205,18 @@ class CrawlEngine:
             pages = extract_pages(fetched, cfg).withColumn("round", F.lit(rnd))
             pages = pages.drop("html", "status_code", "fail_times")
 
+            # observed metrics ride the snapshot write — no extra scan
+            # (the Spark Observation API evaluates during the action)
+            obs = Observation(f"round_{rnd}")
+            pages = pages.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+                F.sum("retry_attempts").alias("total_retries"),
+                F.approx_count_distinct("host").alias("approx_hosts"),
+            )
             self.storage.write_table(pages, "pages", rnd)
+            observed = {k: int(v or 0) for k, v in obs.get.items()}
             pages = self.storage.read_table(self.spark, "pages", rnd)
 
             new_seen = frontier.select("task_id", "canon_url")
@@ -249,12 +260,17 @@ class CrawlEngine:
                 self.storage.write_table(next_frontier, "frontier", rnd + 1)
                 wrote_frontier = True
 
+            round_counters = {
+                "frontier": n_frontier,
+                "depth": depth_of_round,
+                **observed,
+            }
             self.storage.commit_round(
                 rnd,
                 ["pages", "seen"] + (["frontier"] if wrote_frontier else []),
-                {"frontier": n_frontier, "depth": depth_of_round},
+                round_counters,
             )
-            counters.append({"round": rnd, "frontier": n_frontier})
+            counters.append({"round": rnd, **round_counters})
 
             if not expand:
                 break

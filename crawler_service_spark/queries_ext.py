@@ -422,6 +422,77 @@ SQL_SPANS = f"""
 
 
 # ---------------------------------------------------------------------------
+# A3 — the reference's five retry counters over a declared failure schedule
+# ---------------------------------------------------------------------------
+
+def q_a3_retry_stats(spark, sf_dir):
+    """crawler.py:49-55 counters from per-row outcome columns (the same
+    reduction engine.retry_stats performs on the pages table)."""
+    from crawler_service_spark.queries import _synth_status
+
+    s = _synth_status(load(spark, sf_dir, "events")).withColumn(
+        "fails", (F.col("event_id") % 5).cast("int")
+    )
+    transient = (F.col("status") >= 500) | (F.col("status") == 429)
+    permanent = F.col("status").between(400, 499) & (F.col("status") != 429)
+    attempts = (
+        F.when(permanent, F.lit(0))
+        .when(transient, F.lit(3))
+        .otherwise(F.least(F.col("fails"), F.lit(3)))
+    )
+    is_error = permanent | transient | (~permanent & ~transient & (F.col("fails") > 3))
+    err_transient = is_error & (transient | (F.col("fails") > 3))
+    d = s.select(
+        attempts.alias("att"),
+        is_error.alias("err"),
+        err_transient.alias("errt"),
+        permanent.alias("perm"),
+    )
+    return d.agg(
+        F.sum("att").cast("long").alias("total_retries"),
+        F.sum(((~F.col("err")) & (F.col("att") > 0)).cast("long")).alias("successful_retries"),
+        F.sum(F.col("errt").cast("long")).alias("failed_retries"),
+        F.sum(
+            F.when(F.col("errt"), F.col("att") + 1)
+            .when((~F.col("err")) & (F.col("att") > 0), F.col("att"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("transient_errors"),
+        F.sum(F.col("perm").cast("long")).alias("permanent_errors"),
+    )
+
+
+def _sql_a3() -> str:
+    from crawler_service_spark.queries import _SYNTH_STATUS_SQL
+
+    return f"""
+    WITH s AS (
+      SELECT status, CAST(event_id % 5 AS INT) AS fails FROM ({_SYNTH_STATUS_SQL})),
+    d AS (
+      SELECT CASE WHEN status BETWEEN 400 AND 499 AND status <> 429 THEN 0
+                  WHEN status >= 500 OR status = 429 THEN 3
+                  ELSE least(fails, 3) END AS att,
+             (status BETWEEN 400 AND 499 AND status <> 429) AS perm,
+             (status >= 500 OR status = 429) AS trans,
+             fails
+      FROM s),
+    e AS (
+      SELECT att, perm, trans,
+             (perm OR trans OR (NOT perm AND NOT trans AND fails > 3)) AS err,
+             ((perm OR trans OR (NOT perm AND NOT trans AND fails > 3))
+              AND (trans OR fails > 3)) AS errt
+      FROM d)
+    SELECT CAST(sum(att) AS BIGINT) AS total_retries,
+           CAST(sum(CASE WHEN NOT err AND att > 0 THEN 1 ELSE 0 END) AS BIGINT) AS successful_retries,
+           CAST(sum(CASE WHEN errt THEN 1 ELSE 0 END) AS BIGINT) AS failed_retries,
+           CAST(sum(CASE WHEN errt THEN att + 1
+                         WHEN NOT err AND att > 0 THEN att
+                         ELSE 0 END) AS BIGINT) AS transient_errors,
+           CAST(sum(CASE WHEN perm THEN 1 ELSE 0 END) AS BIGINT) AS permanent_errors
+    FROM e
+    """
+
+
+# ---------------------------------------------------------------------------
 # End-to-end near-dup: MinHash LSH candidates → pairwise token Jaccard
 # ---------------------------------------------------------------------------
 
@@ -680,6 +751,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_extract_roundtrip": q_x_extract_roundtrip,
     "robots_filter": q_robots_filter,
     "dedup_lsh_jaccard_pairs": q_dedup_lsh_jaccard_pairs,
+    "a3_retry_stats": q_a3_retry_stats,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -699,4 +771,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "x_extract_roundtrip": SQL_X_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS,
     "dedup_lsh_jaccard_pairs": _sql_lsh_pairs(),
+    "a3_retry_stats": _sql_a3(),
 }

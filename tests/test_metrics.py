@@ -26,6 +26,10 @@ def test_report_shape(spark):
     assert 0.0 <= s["success_rate"] <= 1.0
     assert r["seen_size"] == s["total_pages"]  # every fetched page was marked seen
     assert r["rounds"] and r["rounds"][0]["frontier"] >= 2
+    # observed metrics (Observation API) ride the snapshot write
+    assert r["rounds"][0]["n_pages"] >= 2
+    assert sum(rc["n_pages"] for rc in r["rounds"]) == s["total_pages"]
+    assert sum(rc["n_errors"] for rc in r["rounds"]) == s["failed_pages"]
     assert r["top_hosts"] and all(h["fetched"] >= 1 for h in r["top_hosts"])
     assert set(r["retry_stats"]) == {
         "total_retries", "successful_retries", "failed_retries",
