@@ -15,10 +15,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# Explicit ASCII whitespace class instead of \s: Java regex \s includes
+# vertical tab \x0B while RE2's (DuckDB's) does not, so any document
+# containing \x0B would diverge from the SQL oracle (ADVICE r01). Both
+# engines interpret these escapes identically.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum —
 # the GPT-2 pre-tokenizer's shape without the unicode categories;
 # deterministic and identical under Java regex and RE2.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 # Common-English trigrams for the n-gram language-ID heuristic.
 LANG_TRIGRAMS = ("the", "and", "ing", "ion", "ent", "her", "for", "tha")
@@ -28,7 +34,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 def ws_token_count(text_col):
     """Whitespace token count (empty tokens dropped)."""
-    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(text_col, WS_CLASS + "+"), lambda x: x != "")
     return F.size(toks).cast("long")
 
 

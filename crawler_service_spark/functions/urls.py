@@ -197,7 +197,13 @@ def canonicalize_native(url_col, sort_query: bool = True):
         url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
     )
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    # anchored from the scheme so a '?' INSIDE the fragment (fragments may
+    # contain '?': https://h/p#a?b) can never be mistaken for the query
+    # start — the unanchored r"\?([^#]*)" bug broke byte-parity with
+    # urllib on exactly those URLs (ADVICE r01, high)
+    query = F.regexp_extract(
+        url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^?#]*\?([^#]*)", 1
+    )
     if sort_query:
         pairs = F.transform(
             F.split(query, "&"),

@@ -30,7 +30,8 @@ def crawl_summary(pages: DataFrame) -> dict:
     ).collect()[0]
     d = row.asDict()
     d["success_rate"] = round(float(d["success_rate"] or 0.0), 6)
-    return {k: (int(v) if k != "success_rate" else v) for k, v in d.items()}
+    # `or 0`: sum()/max() aggregates are NULL on an empty pages table
+    return {k: (int(v or 0) if k != "success_rate" else v) for k, v in d.items()}
 
 
 def per_host_stats(pages: DataFrame, default_limit: int = 10) -> DataFrame:

@@ -100,14 +100,23 @@ def skew_resistant_host_rank(
     3. per-(host, salt) counts → running offsets per host in salt order
        → broadcast back; global rank = local rank + offset.
 
-    PRECONDITION: ``priority_col`` must be constant within each host's
-    batch (true by construction for BSP rounds — priority is the round's
-    depth); otherwise salt-bucket order would not match (priority, seq)
-    order. ``schedule_round(skew_safe=False)`` is the general-priority
-    fallback.
+    PRECONDITION (checked, not just documented): salting is only valid
+    when ``priority_col`` is constant within a host's batch — salt
+    buckets are contiguous ``discovery_seq`` ranges, so a higher-priority
+    row in a later seq range would rank after lower-priority rows. The
+    hot-host split therefore requires ``min(priority) == max(priority)``
+    per host (computed in the same tiny aggregate as the counts); a hot
+    host with mixed priorities — e.g. deferred rows re-entering a later
+    frontier — safely falls back to the plain per-host window.
     """
-    host_counts = b.groupBy("host").agg(F.count("*").alias("_hc"))
-    hot = host_counts.filter(F.col("_hc") >= int(salt_width)).select("host")
+    host_counts = b.groupBy("host").agg(
+        F.count("*").alias("_hc"),
+        F.min(priority_col).alias("_pmin"),
+        F.max(priority_col).alias("_pmax"),
+    )
+    hot = host_counts.filter(
+        (F.col("_hc") >= int(salt_width)) & (F.col("_pmin") == F.col("_pmax"))
+    ).select("host")
 
     # cold hosts (< salt_width rows each): the plain per-host window is
     # already balanced — no task exceeds salt_width rows

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from crawler_service_spark.functions.text import (
     BPE_TOKEN_RE,
     LANG_TRIGRAMS,
+    WS_CLASS,
     bpe_token_count,
     rolling_fingerprint,
     trigram_hits,
@@ -59,7 +60,7 @@ def q_text_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = f"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '{WS_CLASS}+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
     FROM documents
 """
@@ -355,8 +356,11 @@ def q_stream_session_counts(spark, sf_dir):
 SQL_STREAM_SESSION = """
     WITH e AS (
       SELECT ts, user_id % 50 AS uid,
+             -- '>=' matches Spark's half-open session windows
+             -- [start, start+gap): an event exactly gap after the
+             -- previous one starts a NEW session (ADVICE r01)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events),

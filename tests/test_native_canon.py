@@ -35,6 +35,9 @@ DIRTY_URLS = [
     "not a url at all",
     "ftp://files.example.com/x/",
     "https://host.example.com/p?weird?=1",             # '?' in key → python path
+    "https://host.example.com/p#a?b",                  # '?' inside fragment (ADVICE r01)
+    "https://host.example.com/p#a?b=c&d=e",            # fake query in fragment
+    "https://host.example.com/p?a=1#x?y=2",            # real query + '?' fragment
 ]
 
 
@@ -131,3 +134,30 @@ def test_skew_rank_matches_window_rank(spark):
           for r in b.collect()}
     assert ka == kb
     assert len(ka) == len(rows)
+
+
+def test_skew_rank_mixed_priority_hot_host(spark):
+    """A hot host whose batch mixes priorities (deferred rows re-entering
+    a later frontier) must NOT be salted — the guard falls it back to the
+    plain window so (priority, seq) order is ranked correctly even when a
+    high-priority row has a high discovery_seq (ADVICE r01)."""
+    rows = []
+    seq = 0
+    # hot host: 300 rows at depth 2, then 100 LATER-seq rows at depth 1
+    # (higher priority) — a salted rank would order these after depth 2
+    for d, n in ((2, 300), (1, 100)):
+        for _ in range(n):
+            rows.append(("hot", d, seq))
+            seq += 1
+    for h in range(5):
+        rows.append(("h%d" % h, 1, seq))
+        seq += 1
+    df = spark.createDataFrame(rows, "host string, depth int, discovery_seq long")
+    a, _ = schedule_round(df, None, skew_safe=True, shuffle_partitions=8,
+                          salt_width=64)
+    b, _ = schedule_round(df, None, skew_safe=False, shuffle_partitions=8)
+    ka = {(r["host"], r["discovery_seq"]): r["host_rank"] for r in a.collect()}
+    kb = {(r["host"], r["discovery_seq"]): r["host_rank"] for r in b.collect()}
+    assert ka == kb
+    # sanity: the depth-1 rows must outrank every depth-2 row on the hot host
+    assert ka[("hot", 300)] == 1
