@@ -40,6 +40,11 @@ class CrawlConfig:
     # request-level (crawl_models.py:39-67)
     max_depth: int = 0
     follow_links: bool = False
+    # per-request config surface (crawl_models.py:64-66): echoed through
+    # the admin report like admin.py:20-41 echoes settings; non-semantic
+    # in a synthetic-fetch world (no live HTTP to send headers to)
+    custom_headers: tuple[tuple[str, str], ...] = ()
+    timeout: float = 30.0
     extract_text: bool = True
     extract_images: bool = True
     extract_links: bool = True
@@ -51,6 +56,11 @@ class CrawlConfig:
     default_rate_limit: int = 10          # requests per window per host
     rate_limit_window_s: int = 60
     rate_limiting_enabled: bool = True
+    # cross-round deferral (rate_limiter.py:92-111 carried across rounds):
+    # admit ≤ budget_rounds × rate_limit rows per host per round; the
+    # remainder re-enters the next round's frontier with its original
+    # depth + discovery_seq. None = admit everything (round 1 behavior).
+    budget_rounds: int | None = None
 
     # retry policy (config.py:49-54, crawler.py:554-569; jitter dropped —
     # nondeterministic and excluded from every output contract)
@@ -71,6 +81,9 @@ class CrawlConfig:
     shuffle_partitions: int = 32
     bloom_num_bits: int = 1 << 20         # seen-filter prefilter bitmap size
     bloom_num_hashes: int = 3
+    bloom_shards: int = 16                # >0: sharded DataFrame-resident
+                                          # filter (scale path); 0: legacy
+                                          # driver bitmap
 
     # virtual-clock origin for deterministic scheduling timestamps
     round_epoch: float = 0.0

@@ -45,6 +45,7 @@ from crawler_service_spark.functions.urls import (
 )
 from crawler_service_spark.operators.dedup import (
     BloomPrefilter,
+    ShardedBloomFilter,
     anti_join_seen,
     first_occurrence,
 )
@@ -118,6 +119,7 @@ class CrawlEngine:
             canonicalize_frame(
                 seeds.withColumn("_parts", url_parts_udf(F.col("url"))),
                 "url", "canon_url", self.cfg.sort_query_params,
+                single_scan=True,  # upstream UDF lineage must run once
             )
             .select(
                 "task_id",
@@ -138,11 +140,18 @@ class CrawlEngine:
     def crawl(self, seeds: DataFrame | None = None, resume: bool = False) -> CrawlTables:
         cfg = self.cfg
         counters: list[dict] = []
-        bloom = (
-            BloomPrefilter(cfg.bloom_num_bits, cfg.bloom_num_hashes)
-            if self.use_bloom
-            else None
-        )
+        # sharded (DataFrame-resident) filter by default — the driver
+        # bitmap variant remains for tiny crawls / A-B tests via
+        # cfg.bloom_shards == 0
+        if not self.use_bloom:
+            bloom = None
+        elif cfg.bloom_shards > 0:
+            bloom = ShardedBloomFilter(
+                self.spark, cfg.bloom_num_bits, cfg.bloom_num_hashes,
+                n_shards=cfg.bloom_shards,
+            )
+        else:
+            bloom = BloomPrefilter(cfg.bloom_num_bits, cfg.bloom_num_hashes)
 
         if resume:
             latest = self.storage.latest_round()
@@ -177,19 +186,40 @@ class CrawlEngine:
             self.storage.write_table(self._initial_frontier(seeds), "frontier", 0)
             frontier = self.storage.read_table(self.spark, "frontier", 0)
 
+        deferral = cfg.budget_rounds is not None
+        # total discovery_seq values handed out before the PREVIOUS round's
+        # expansion — frontier rows with seq >= prev_base are this round's
+        # new arrivals (the whole frontier in non-deferral mode)
+        if resume and rnd > 0:
+            prev = self.storage.read_table(self.spark, "frontier", rnd - 1)
+            prev_base = int(prev.agg(F.max("discovery_seq")).collect()[0][0]) + 1
+        else:
+            prev_base = 0
+
         while rnd < self.max_rounds:
-            n_frontier = frontier.count()
+            agg = frontier.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("discovery_seq").alias("mx"),
+            ).collect()[0]
+            n_frontier = int(agg["n"])
             if n_frontier == 0:
                 break
-            depth_of_round = rnd  # frontier depth == round index (BFS levels)
+            seq_base = int(agg["mx"]) + 1  # next fresh discovery_seq
+            depth_of_round = rnd  # == frontier depth in non-deferral mode
 
-            admitted, _ = schedule_round(
+            # each round consumes budget_rounds politeness windows per
+            # (full) host, so the virtual clock advances accordingly
+            epoch = cfg.round_epoch + (
+                rnd * cfg.budget_rounds * cfg.rate_limit_window_s
+                if deferral else 0.0
+            )
+            admitted, deferred = schedule_round(
                 frontier,
                 self.policy,
                 default_limit=cfg.default_rate_limit,
                 default_window_s=cfg.rate_limit_window_s,
-                round_epoch=cfg.round_epoch,
-                budget_rounds=None,
+                round_epoch=epoch,
+                budget_rounds=cfg.budget_rounds,
                 priority_col="depth",
                 shuffle_partitions=cfg.shuffle_partitions,
             )
@@ -219,7 +249,15 @@ class CrawlEngine:
             observed = {k: int(v or 0) for k, v in obs.get.items()}
             pages = self.storage.read_table(self.spark, "pages", rnd)
 
-            new_seen = frontier.select("task_id", "canon_url")
+            # enqueue-time seen semantics (visited ∪ pending): every URL
+            # that ever ENTERS the frontier is seen. Under deferral the
+            # frontier carries rows already recorded in earlier rounds, so
+            # only new arrivals (seq >= prev_base) are appended — keeping
+            # the seen union duplicate-free. Non-deferral: the whole
+            # frontier is new arrivals and the filter passes everything.
+            new_seen = frontier.filter(
+                F.col("discovery_seq") >= prev_base
+            ).select("task_id", "canon_url")
             self.storage.write_table(new_seen, "seen", rnd)
             seen_rounds.append(rnd)
             if bloom is not None:
@@ -230,18 +268,31 @@ class CrawlEngine:
                 )
             seen = self._read_seen(seen_rounds)
 
-            expand = cfg.follow_links and (
-                cfg.max_depth == 0 or depth_of_round < cfg.max_depth
-            )
+            if deferral:
+                # per-ROW depth gate: the frontier mixes depths once rows
+                # defer, so expandability is a property of the page, not
+                # of the round (oracle: parent depth < max_depth)
+                expand = cfg.follow_links
+            else:
+                expand = cfg.follow_links and (
+                    cfg.max_depth == 0 or depth_of_round < cfg.max_depth
+                )
             wrote_frontier = False
+            frontier_parts = []
             if expand:
                 success = pages.filter(~F.col("is_error"))
+                if deferral and cfg.max_depth > 0:
+                    success = success.filter(F.col("depth") < cfg.max_depth)
                 cand = expand_links(success)
                 cand = filter_internal(cand, cfg)
                 if cfg.respect_robots:
                     cand = filter_robots(cand, self.policy)
+                # single-scan strategy: cand is computed lineage
+                # (explode→filter); the union strategy would re-execute
+                # it once per branch
                 cand = canonicalize_frame(
-                    cand, "url", "canon_url", cfg.sort_query_params
+                    cand, "url", "canon_url", cfg.sort_query_params,
+                    single_scan=True,
                 )
                 cand = first_occurrence(
                     cand, ["task_id", "canon_url"], ["parent_seq", "link_pos"]
@@ -253,10 +304,22 @@ class CrawlEngine:
                     bloom=bloom,
                     bloom_key="_bloom_key",
                 ).drop("_bloom_key")
+                # discovery_seq is GLOBAL: per-round dense rank over
+                # (parent_seq, link_pos) shifted by seq_base, so ordering
+                # and first-occurrence stay well-defined when deferred
+                # rows from earlier rounds share the frontier
                 cand = assign_dense_seq(
-                    cand, "parent_seq", "link_pos", n_frontier, cfg.seq_buckets
+                    cand, "parent_seq", "link_pos", seq_base, cfg.seq_buckets
+                ).withColumn(
+                    "discovery_seq", F.col("discovery_seq") + F.lit(seq_base)
                 )
-                next_frontier = cand.select(FRONTIER_COLS)
+                frontier_parts.append(cand.select(FRONTIER_COLS))
+            if deferral:
+                frontier_parts.append(deferred.select(FRONTIER_COLS))
+            if frontier_parts:
+                next_frontier = frontier_parts[0]
+                for part in frontier_parts[1:]:
+                    next_frontier = next_frontier.unionByName(part)
                 self.storage.write_table(next_frontier, "frontier", rnd + 1)
                 wrote_frontier = True
 
@@ -272,7 +335,8 @@ class CrawlEngine:
             )
             counters.append({"round": rnd, **round_counters})
 
-            if not expand:
+            prev_base = seq_base
+            if not wrote_frontier:
                 break
             frontier = self.storage.read_table(self.spark, "frontier", rnd + 1)
             rnd += 1
@@ -284,13 +348,18 @@ class CrawlEngine:
 
 
 def fetch_order(pages: DataFrame) -> DataFrame:
-    """Per-task fetch sequence: rank over (depth, discovery_seq).
+    """Per-task fetch sequence: rank over (round, depth, discovery_seq).
+
+    Without deferral round == depth, so this is the round-1 (depth, seq)
+    order; with ``budget_rounds`` a twice-deferred row is fetched in a
+    later round than a deeper-but-undeferred row, and the round column
+    carries that.
 
     Used for the equality contract and small exports. NOTE: this window
     partitions by task — fine for per-task ordered output; the engine's
     hot loop never needs it (it uses the two-level dense seq instead).
     """
-    w = Window.partitionBy("task_id").orderBy("depth", "discovery_seq")
+    w = Window.partitionBy("task_id").orderBy("round", "depth", "discovery_seq")
     return pages.withColumn("fetch_seq", F.row_number().over(w).cast("long") - 1)
 
 

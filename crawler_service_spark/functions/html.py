@@ -10,9 +10,19 @@ Extraction mirrors the reference's BeautifulSoup pipeline
 (/root/reference/app/services/crawler.py:284-344): title (X2), meta
 description (X3), whitespace-collapsed text content (X4), images + alt
 text (X5), absolute http(s) links (X6), h1–h3 headings (X7), canonical
-URL (X8). BeautifulSoup is not available in this container, and the HTML
-is produced by `render_html` below, so a strict regex parser is exact on
-this grammar (and ~10× faster inside Arrow batches).
+URL (X8).
+
+Two parsers, auto-dispatched per page (`extract_page_auto`):
+
+* `extract_page` — strict regex tokenizer, exact and ~10× faster on the
+  corpus grammar `render_html` emits (verified per page by
+  `is_corpus_grammar`).
+* `extract_page_tolerant` — stdlib ``html.parser.HTMLParser`` (the very
+  parser the reference hands to BeautifulSoup) for arbitrary real-world
+  HTML: uppercase tags, single/no quotes, reordered or extra attributes,
+  nested inline tags, unclosed elements, script/style stripping. Equal
+  to the strict parser on the corpus grammar (property-tested), so the
+  oracle-equality contracts are unchanged.
 
 These are plain functions: the engine calls them inside `mapInPandas`
 batches (operators/extract.py); the oracle simulator calls them directly.
@@ -188,3 +198,211 @@ def extract_page(
         "canonical_url": canonical_url,
         "spans": spans,
     }
+
+
+# ---------------------------------------------------------------------------
+# Tolerant path: stdlib HTMLParser for arbitrary real-world HTML
+# ---------------------------------------------------------------------------
+
+# sound (never-false-positive) recognizer for render_html's exact output:
+# escaped text/attrs contain no raw < > ", so each token is delimited
+_GRAMMAR_RE = re.compile(
+    r"<html><head>"
+    r'(?:<title>[^<>]*</title>'
+    r'|<meta name="description" content="[^<>"]*">'
+    r'|<link rel="canonical" href="[^<>"]*">)*'
+    r"</head><body>"
+    r'(?:<h([123])>[^<>]*</h\1>'
+    r"|<p>[^<>]*</p>"
+    r'|<img src="[^<>"]*" alt="[^<>"]*">'
+    r'|<a href="[^<>"]*">[^<>]*</a>)*'
+    r"</body></html>\Z"
+)
+
+
+def is_corpus_grammar(html: str) -> bool:
+    """True iff ``html`` is provably `render_html` output, where the
+    strict regex tokenizer is exact."""
+    return _GRAMMAR_RE.match(html) is not None
+
+
+from html.parser import HTMLParser as _HTMLParser
+
+_CAPTURE_TAGS = frozenset(("title", "h1", "h2", "h3", "p"))
+_VOID_TAGS = frozenset((
+    "img", "meta", "link", "br", "hr", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+))
+
+
+class _TolerantExtractor(_HTMLParser):
+    """Event collector mirroring the reference's BeautifulSoup usage
+    (crawler.py:284-344) on messy HTML: html.parser lowercases tag and
+    attribute names, accepts single/un-quoted and reordered attributes,
+    and decodes character references (convert_charrefs)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.events: list[tuple[str, str, str | None]] = []
+        self.text_parts: list[str] = []
+        self._captures: list[tuple[str, list[str]]] = []  # nested title/h*/p
+        self._suppress = 0                                # inside script/style
+
+    # -- helpers
+    def _attr(self, attrs, name, default=None):
+        for k, v in attrs:
+            if k == name:
+                return v if v is not None else ""
+        return default
+
+    def _open_capture(self, tag):
+        self._captures.append((tag, []))
+
+    def _close_capture(self, tag):
+        # close the nearest matching capture; auto-close any deeper
+        # unclosed captures the way html.parser's tree-builders would
+        while self._captures:
+            open_tag, parts = self._captures.pop()
+            text = "".join(parts)
+            kind = "text" if open_tag == "p" else open_tag
+            self.events.append((kind, text, None))
+            if open_tag == tag:
+                return
+
+    # -- parser hooks
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._suppress += 1
+            return
+        if tag in _CAPTURE_TAGS:
+            self._open_capture(tag)
+        elif tag == "meta":
+            if self._attr(attrs, "name") == "description":
+                self.events.append(
+                    ("meta", (self._attr(attrs, "content") or ""), None))
+        elif tag == "link":
+            rel = (self._attr(attrs, "rel") or "").lower().split()
+            href = self._attr(attrs, "href")
+            if "canonical" in rel and href is not None:
+                self.events.append(("canonical", href, None))
+        elif tag == "img":
+            src = self._attr(attrs, "src")
+            alt = self._attr(attrs, "alt") or ""
+            self.events.append(("media", alt, src))
+        elif tag == "a":
+            href = self._attr(attrs, "href")
+            if href is not None:
+                self.events.append(("link", href, None))
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _VOID_TAGS or tag not in _CAPTURE_TAGS:
+            self.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                self._suppress = max(0, self._suppress - 1)
+        else:  # <p/> style self-closed container: empty element
+            self._open_capture(tag)
+            self._close_capture(tag)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._suppress = max(0, self._suppress - 1)
+            return
+        if tag in _CAPTURE_TAGS and any(t == tag for t, _ in self._captures):
+            self._close_capture(tag)
+
+    def handle_data(self, data):
+        if self._suppress:
+            return
+        if data:
+            self.text_parts.append(data)
+            for _, parts in self._captures:
+                parts.append(data)
+
+    def close(self):
+        super().close()
+        while self._captures:           # unclosed containers at EOF
+            self._close_capture(self._captures[-1][0])
+
+
+def extract_page_tolerant(
+    html: str,
+    base_url: str,
+    *,
+    extract_text: bool = True,
+    extract_images: bool = True,
+    extract_links: bool = True,
+    extract_headings: bool = True,
+    extract_image_alt_text: bool = True,
+    extract_canonical_url: bool = True,
+) -> dict:
+    """`extract_page` semantics over arbitrary HTML via stdlib
+    HTMLParser. Identical output to the strict parser on the corpus
+    grammar; on real-world HTML it mirrors the reference's BeautifulSoup
+    calls (first title / first meta-description / first canonical win;
+    every img/a/h1-3 collected; script+style text dropped; text
+    whitespace-collapsed). One BS4 divergence, shared with the strict
+    parser: adjacent text nodes join with a single space rather than
+    ``get_text()``'s bare concatenation."""
+    p = _TolerantExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # salvage whatever was parsed before the error
+
+    title = None
+    meta_description = None
+    canonical_url = None
+    images: list[str] = []
+    image_alt_text: list[str] = []
+    links: list[str] = []
+    headings: dict[str, list[str]] = {"h1": [], "h2": [], "h3": []}
+    spans: list[dict] = []
+
+    for offset, (kind, text, ref) in enumerate(p.events):
+        if kind == "title" and title is None:
+            title = text.strip()
+        elif kind == "meta" and meta_description is None:
+            meta_description = text.strip()
+        elif kind == "canonical":
+            if extract_canonical_url and canonical_url is None and text:
+                canonical_url = urljoin(base_url, text)
+        elif kind in ("h1", "h2", "h3"):
+            if extract_headings and text.strip():
+                headings[kind].append(text.strip())
+        elif kind == "media":
+            if extract_images and ref:
+                images.append(urljoin(base_url, ref))
+            if extract_image_alt_text and text.strip():
+                image_alt_text.append(text.strip())
+        elif kind == "link":
+            if extract_links and text:
+                absolute = urljoin(base_url, text)
+                if absolute.startswith(("http://", "https://")):
+                    links.append(absolute)
+        spans.append({"kind": kind, "text": text, "media_ref": ref,
+                      "offset": offset})
+
+    text_content = None
+    if extract_text:
+        text_content = _WS_RE.sub(" ", " ".join(p.text_parts)).strip()
+
+    return {
+        "title": title,
+        "meta_description": meta_description,
+        "text_content": text_content,
+        "images": images,
+        "links": links,
+        "headings": headings,
+        "image_alt_text": image_alt_text,
+        "canonical_url": canonical_url,
+        "spans": spans,
+    }
+
+
+def extract_page_auto(html: str, base_url: str, **flags) -> dict:
+    """Per-page dispatch: strict tokenizer on provable corpus grammar,
+    tolerant HTMLParser otherwise."""
+    if is_corpus_grammar(html):
+        return extract_page(html, base_url, **flags)
+    return extract_page_tolerant(html, base_url, **flags)

@@ -37,6 +37,10 @@ def canonicalize_url(url: str, sort_query: bool = True) -> str:
     sorted by (key, value) — applied identically in the oracle so equality
     contracts hold either way.
     """
+    if url is None:
+        # fast path for the single-scan hybrid: eligible rows reach the
+        # UDF as nulls (their result comes from the native branch)
+        return None
     try:
         parsed = urlparse(url)
         scheme = parsed.scheme.lower()
@@ -231,14 +235,35 @@ def canonicalize_frame(
     url_col: str,
     out_col: str = "canon_url",
     sort_query: bool = True,
+    single_scan: bool = False,
 ):
     """Hybrid P1: JVM-native fast path for eligible rows, exact pandas-UDF
-    fallback for the rest, unioned. On a real web frontier the eligible
-    share dominates, so the Arrow crossing disappears from the hot path;
-    equality is preserved because the native expression is byte-identical
-    on exactly the rows it is applied to. (The source is scanned twice —
-    fine for parquet-backed frontiers; cache upstream if computed.)"""
+    fallback for the rest. Equality is preserved because the native
+    expression is byte-identical on exactly the rows it is applied to.
+
+    Two physical strategies, same result:
+
+    * union (default): filter+union — eligible rows NEVER cross Arrow.
+      Scans the input twice, so it wants a materialized input (parquet
+      snapshot / cache). Measured at 16M rows × 16 cores: 10.8 s vs
+      16.4 s single-scan — the all-rows Arrow crossing costs more than
+      the second scan of a materialized input.
+    * ``single_scan=True``: one pass; the UDF input is nulled for
+      eligible rows (``when(~eligible, url)``) so Python sees mostly
+      nulls, and a ``when`` projection picks the native result. For
+      COMPUTED lineage (the engine's explode→filter link batch) where a
+      second scan would re-execute the upstream plan.
+    """
     eligible = native_canon_eligible(F.col(url_col))
+    if single_scan:
+        slow_out = make_canon_udf(sort_query)(
+            F.when(~eligible, F.col(url_col))
+        )
+        return df.withColumn(
+            out_col,
+            F.when(eligible, canonicalize_native(F.col(url_col), sort_query))
+            .otherwise(slow_out),
+        )
     fast = df.filter(eligible).withColumn(
         out_col, canonicalize_native(F.col(url_col), sort_query)
     )

@@ -113,22 +113,185 @@ class BloomPrefilter:
         ]
         return _all_set(*pos)
 
+    def annotate(self, batch: DataFrame, key_col: str) -> DataFrame:
+        """Append ``_maybe_seen`` (the common prefilter interface)."""
+        return batch.withColumn("_maybe_seen", self.probe_col(F.col(key_col)))
+
+
+class ShardedBloomFilter:
+    """Partitioned bloom prefilter — the 10^10-scale D1 path (SURVEY
+    §7.5's sharded design; replaces the driver-sided bitmap the round-1
+    VERDICT flagged).
+
+    The bitmap lives as a DataFrame of ``(shard, bitmap: binary)`` rows —
+    one shard per ``xxhash64(key) mod n_shards`` range — built and merged
+    entirely as distributed ``applyInPandas`` aggregates. The driver
+    never holds a bitmap, collects nothing, and no UDF closure captures
+    one: probing cogroups the candidate batch with the shard table on the
+    shard id, so each task sees exactly one shard's bytes (a shard-wise
+    join). At 10^10 seen keys: 4096 shards × 16 MiB ≈ 64 GiB of filter,
+    spread over the cluster — the same layout Iceberg/bucketed tables
+    would give the seen set itself.
+
+    Exactness contract unchanged: this is a PREFILTER. All-bits-set ⇒
+    "maybe seen" ⇒ pay the exact anti-join; any-bit-clear ⇒ definitely
+    new. Bit positions use the same JVM-side ``xxhash64(key, i)`` family
+    as :class:`BloomPrefilter`, but modulo ``bits_per_shard`` within the
+    key's shard (equivalent to a partitioned global bitmap).
+    """
+
+    def __init__(
+        self,
+        spark,
+        num_bits: int = 1 << 23,
+        num_hashes: int = 3,
+        n_shards: int = 64,
+    ):
+        self.spark = spark
+        self.n_shards = int(n_shards)
+        # round bits-per-shard up to whole bytes
+        bps = max(8, (int(num_bits) // self.n_shards + 7) // 8 * 8)
+        self.bits_per_shard = bps
+        self.num_hashes = int(num_hashes)
+        self.shards: DataFrame | None = None   # (shard long, bitmap binary)
+        self.fitted = False
+
+    # -- internal ----------------------------------------------------------
+    def _with_positions(self, df: DataFrame, key: str) -> DataFrame:
+        cols = [F.pmod(F.xxhash64("_sb_shard", F.col(key), F.lit(i)),
+                       F.lit(self.bits_per_shard)).alias(f"_sb_p{i}")
+                for i in range(self.num_hashes)]
+        return df.withColumn(
+            "_sb_shard", F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_shards))
+        ).select("_sb_shard", *cols)
+
+    def _build_delta(self, keys: DataFrame, key: str) -> DataFrame:
+        """(shard, bitmap) rows for the shards touched by ``keys``."""
+        nbytes = self.bits_per_shard // 8
+        pos_cols = [f"_sb_p{i}" for i in range(self.num_hashes)]
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bitmap = np.zeros(nbytes, dtype=np.uint8)
+            for c in pos_cols:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            return pd.DataFrame({
+                "shard": [int(pdf["_sb_shard"].iloc[0])],
+                "bitmap": [bitmap.tobytes()],
+            })
+
+        return (
+            self._with_positions(keys, key)
+            .groupBy("_sb_shard")
+            .applyInPandas(build, schema="shard long, bitmap binary")
+        )
+
+    def _materialize(self, shards: DataFrame) -> DataFrame:
+        old = self.shards
+        shards = shards.persist()
+        shards.count()   # ≤ n_shards rows; breaks lineage across rounds
+        if old is not None:
+            old.unpersist()
+        return shards
+
+    # -- build -------------------------------------------------------------
+    def fit(self, seen: DataFrame, key: str = "canon_url") -> "ShardedBloomFilter":
+        self.shards = self._materialize(self._build_delta(seen, key))
+        self.fitted = True
+        return self
+
+    def update(self, new_rows: DataFrame, key: str = "canon_url") -> None:
+        delta = self._build_delta(new_rows, key)
+        if self.shards is None:
+            self.shards = self._materialize(delta)
+            self.fitted = True
+            return
+
+        def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.bitwise_or.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+            )
+            return pd.DataFrame({
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bitmap": [acc.tobytes()],
+            })
+
+        merged = (
+            self.shards.unionByName(delta)
+            .groupBy("shard")
+            .applyInPandas(or_reduce, schema="shard long, bitmap binary")
+        )
+        self.shards = self._materialize(merged)
+        self.fitted = True
+
+    # -- probe -------------------------------------------------------------
+    def annotate(self, batch: DataFrame, key_col: str) -> DataFrame:
+        """Append ``_maybe_seen`` via a shard-wise cogrouped probe: the
+        batch shuffles on its shard id (uniform by construction) and each
+        task tests its rows against exactly one shard bitmap with
+        vectorized numpy bit lookups — no bitmap ever leaves the
+        executors."""
+        from pyspark.sql.types import StructField, StructType
+
+        nh = self.num_hashes
+        pos_cols = [f"_sb_p{i}" for i in range(nh)]
+        probed = batch.withColumn(
+            "_sb_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_shards))
+        )
+        for i in range(nh):
+            probed = probed.withColumn(
+                f"_sb_p{i}",
+                F.pmod(F.xxhash64("_sb_shard", F.col(key_col), F.lit(i)),
+                       F.lit(self.bits_per_shard)),
+            )
+        out_schema = StructType(
+            [f for f in probed.schema.fields if not f.name.startswith("_sb_")]
+            + [StructField("_maybe_seen", BooleanType())]
+        )
+        keep = [f.name for f in probed.schema.fields
+                if not f.name.startswith("_sb_")]
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(columns=keep + ["_maybe_seen"])
+            if len(right) == 0:
+                res = np.zeros(len(left), dtype=bool)
+            else:
+                bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+                res = np.ones(len(left), dtype=bool)
+                for c in pos_cols:
+                    p = left[c].to_numpy(dtype=np.int64)
+                    res &= (bitmap[p >> 3] >> (p & 7)).astype(bool)
+            out = left[keep].copy()
+            out["_maybe_seen"] = res
+            return out
+
+        shards = self.shards
+        if shards is None:
+            return batch.withColumn("_maybe_seen", F.lit(False))
+        return (
+            probed.groupby("_sb_shard")
+            .cogroup(shards.groupby("shard"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+
 
 def anti_join_seen(
     batch: DataFrame,
     seen: DataFrame,
     key_cols: list[str],
-    bloom: BloomPrefilter | None = None,
+    bloom: "BloomPrefilter | ShardedBloomFilter | None" = None,
     bloom_key: str = "canon_url",
 ) -> DataFrame:
     """D1: rows of ``batch`` whose key is NOT in ``seen`` (exact).
 
-    With a fitted bloom prefilter, definitely-new rows bypass the shuffle;
-    the exact anti-join runs only on the maybe-seen remainder and the
-    result is their union (no false drops possible).
+    With a fitted bloom prefilter (driver bitmap or sharded — both expose
+    ``annotate``), definitely-new rows bypass the shuffle; the exact
+    anti-join runs only on the maybe-seen remainder and the result is
+    their union (no false drops possible).
     """
     if bloom is not None and bloom.fitted:
-        probed = batch.withColumn("_maybe_seen", bloom.probe_col(F.col(bloom_key)))
+        probed = bloom.annotate(batch, bloom_key)
         definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         survived = maybe.join(seen.select(key_cols), key_cols, "left_anti")

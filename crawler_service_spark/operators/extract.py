@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 )
 
 from crawler_service_spark.config import CrawlConfig
-from crawler_service_spark.functions.html import extract_page
+from crawler_service_spark.functions.html import extract_page_auto
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -87,7 +87,9 @@ def extract_pages(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 if is_err or html is None or not isinstance(html, str):
                     rows.append(_EMPTY)
                 else:
-                    rows.append(extract_page(html, url, **flags))
+                    # strict regex tokenizer on provable corpus grammar,
+                    # stdlib-HTMLParser tolerant path on anything else
+                    rows.append(extract_page_auto(html, url, **flags))
             ext = pd.DataFrame(rows, columns=list(_EMPTY.keys()))
             yield pd.concat(
                 [pdf.reset_index(drop=True), ext.reset_index(drop=True)], axis=1

@@ -127,16 +127,7 @@ def simulate_crawl(
 
         record = store.get(canon)
         status, attempts, is_error = _fetch_outcome(record, cfg.max_retries)
-        stats["total_retries"] += attempts
-        if is_error:
-            if status >= 500 or status == 429:
-                stats["transient_errors"] += attempts + 1
-                stats["failed_retries"] += 1
-            else:
-                stats["permanent_errors"] += 1
-        elif attempts > 0:
-            stats["transient_errors"] += attempts
-            stats["successful_retries"] += 1
+        _record_outcome(stats, status, attempts, is_error)
 
         page = OraclePage(
             task_id=task_id,
@@ -187,6 +178,122 @@ def simulate_crawl(
     return OracleResult(
         order=order,
         seen={(task_id, c) for c in visited},
+        retry_stats=stats,
+    )
+
+
+def _record_outcome(stats: dict, status: int, attempts: int, is_error: bool) -> None:
+    stats["total_retries"] += attempts
+    if is_error:
+        if status >= 500 or status == 429:
+            stats["transient_errors"] += attempts + 1
+            stats["failed_retries"] += 1
+        else:
+            stats["permanent_errors"] += 1
+    elif attempts > 0:
+        stats["transient_errors"] += attempts
+        stats["successful_retries"] += 1
+
+
+def simulate_crawl_rounds(
+    store: dict[str, dict],
+    seed_url: str,
+    cfg: CrawlConfig,
+    task_id: str = "task0",
+    policy: dict | None = None,
+    limits: dict[str, int] | None = None,
+    max_rounds: int = 200,
+) -> OracleResult:
+    """Ground truth for the engine's ``budget_rounds`` deferral mode
+    (rate_limiter.py:92-111 carried across scheduling rounds, a
+    north-rule superset of the reference's sleep-only limiter).
+
+    Per round: order the frontier by (depth, discovery_seq); admit at
+    most ``budget_rounds × limit`` rows per host; fetch admitted in that
+    order; expand their links (global discovery_seq counter, enqueue-time
+    dedup against everything ever enqueued); defer the remainder with
+    original (depth, seq) into the next round.
+    """
+    from crawler_service_spark.functions.urls import host_of
+
+    k = cfg.budget_rounds or 1
+    canon_seed = canonicalize_url(seed_url, cfg.sort_query_params)
+    frontier: list[tuple[str, int, int]] = [(seed_url, 0, 0)]  # url, depth, seq
+    next_seq = 1
+    enqueued: set[str] = {canon_seed}
+    order: list[OraclePage] = []
+    fetch_seq = 0
+    stats = {
+        "total_retries": 0,
+        "successful_retries": 0,
+        "failed_retries": 0,
+        "transient_errors": 0,
+        "permanent_errors": 0,
+    }
+
+    rnd = 0
+    while frontier and rnd < max_rounds:
+        frontier.sort(key=lambda t: (t[1], t[2]))
+        counts: dict[str, int] = {}
+        admitted, deferred = [], []
+        for url, depth, seq in frontier:
+            host = host_of(url)
+            cap = k * (limits or {}).get(host, cfg.default_rate_limit)
+            if counts.get(host, 0) < cap:
+                counts[host] = counts.get(host, 0) + 1
+                admitted.append((url, depth, seq))
+            else:
+                deferred.append((url, depth, seq))
+
+        new_rows: list[tuple[str, int, int]] = []
+        for url, depth, seq in admitted:
+            canon = canonicalize_url(url, cfg.sort_query_params)
+            record = store.get(canon)
+            status, attempts, is_error = _fetch_outcome(record, cfg.max_retries)
+            _record_outcome(stats, status, attempts, is_error)
+            page = OraclePage(
+                task_id=task_id, fetch_seq=fetch_seq, depth=depth, url=url,
+                canon_url=canon, status=status, retry_attempts=attempts,
+                is_error=is_error,
+            )
+            if not is_error:
+                ext = extract_page(
+                    record["html"], url,
+                    extract_text=cfg.extract_text,
+                    extract_images=cfg.extract_images,
+                    extract_links=cfg.extract_links,
+                    extract_headings=cfg.extract_headings,
+                    extract_image_alt_text=cfg.extract_image_alt_text,
+                    extract_canonical_url=cfg.extract_canonical_url,
+                )
+                page.spans = ext["spans"]
+                page.links = ext["links"]
+                page.title = ext["title"]
+                page.text_content = ext["text_content"]
+            order.append(page)
+            fetch_seq += 1
+
+            if not is_error and cfg.follow_links and (
+                cfg.max_depth == 0 or depth < cfg.max_depth
+            ):
+                for link in page.links:
+                    if not _is_internal_link(seed_url, link, cfg):
+                        continue
+                    if cfg.respect_robots and not _robots_allowed(link, policy):
+                        continue
+                    normalized = canonicalize_url(link, cfg.sort_query_params)
+                    if normalized in enqueued:
+                        continue
+                    enqueued.add(normalized)
+                    new_rows.append((link, depth + 1, next_seq))
+                    next_seq += 1
+
+        frontier = new_rows + deferred
+        rnd += 1
+
+    return OracleResult(
+        order=order,
+        seen={(task_id, c) for c in enqueued},
         retry_stats=stats,
     )
 

@@ -161,6 +161,22 @@ SQL_D1 = f"""
 """
 
 
+def q_d1_bloom_sharded(spark, sf_dir):
+    """D1 through the ShardedBloomFilter prefilter (SURVEY §7.5): the
+    DataFrame-resident sharded bitmap splits the batch into
+    definitely-new / maybe-seen, the exact anti-join cleans up — result
+    identical to the plain NOT IN oracle (prefilter soundness)."""
+    from crawler_service_spark.operators.dedup import ShardedBloomFilter
+
+    urls = _synth_urls(load(spark, sf_dir, "orders"))
+    seen = urls.filter(F.col("id") % 3 == 0).select(F.col("url").alias("canon_url"))
+    batch = urls.select("id", F.col("url").alias("canon_url"))
+    bloom = ShardedBloomFilter(spark, num_bits=1 << 18, n_shards=8).fit(
+        seen, "canon_url")
+    return anti_join_seen(batch, seen, ["canon_url"], bloom=bloom,
+                          bloom_key="canon_url").select("id")
+
+
 def q_d2_first_occurrence(spark, sf_dir):
     ev = load(spark, sf_dir, "events").withColumn("k", F.col("user_id") % 500)
     return first_occurrence(ev, ["k"], ["ts", "event_id"]).select("k", "event_id")
@@ -805,6 +821,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_host_extract": q_p2_host_extract,
     "f1_internal_filter": q_f1_internal_filter,
     "d1_seen_antijoin": q_d1_seen_antijoin,
+    "d1_bloom_sharded": q_d1_bloom_sharded,
     "d2_first_occurrence": q_d2_first_occurrence,
     "rl1_budget_rank": q_rl1_budget_rank,
     "rl1_wait_time": q_rl1_wait_time,
@@ -840,6 +857,7 @@ ORACLE_SQL: dict[str, str] = {
     "p2_host_extract": SQL_P2,
     "f1_internal_filter": SQL_F1,
     "d1_seen_antijoin": SQL_D1,
+    "d1_bloom_sharded": SQL_D1,
     "d2_first_occurrence": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,

@@ -694,6 +694,59 @@ SQL_X_ROUNDTRIP = """
 """
 
 
+def q_x_extract_tolerant(spark, sf_dir):
+    """X1–X8 over MESSY real-world HTML through the same mapInPandas
+    stage: uppercase tags, single-quoted + reordered + extra attributes,
+    nested inline markup — the tolerant stdlib-HTMLParser path
+    (functions/html.py extract_page_tolerant, auto-dispatched). The
+    oracle re-derives the expected fields with SQL string ops."""
+    from crawler_service_spark.config import CrawlConfig
+    from crawler_service_spark.operators.extract import extract_pages
+
+    CFG = CrawlConfig()
+    doc = load(spark, sf_dir, "documents")
+    safe = F.regexp_replace(F.col("text"), r"[<>&\"]", " ")
+    n = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<HTML><HEAD><TITLE>Doc "), n,
+        F.lit("</TITLE><META CONTENT='about "), n,
+        F.lit("' NAME='description'></HEAD><BODY><H1>H<EM>"), n,
+        F.lit("</EM></H1><P>"), safe,
+        F.lit("</P><A CLASS='x' HREF='https://x.example.com/p/"), n,
+        F.lit("'>go</A></BODY></HTML>"),
+    )
+    src = doc.select(
+        "doc_id",
+        F.concat(F.lit("https://x.example.com/d/"), n).alias("url"),
+        html.alias("html"),
+        F.lit(False).alias("is_error"),
+    )
+    pages = extract_pages(src, CFG)
+    return pages.select(
+        "doc_id",
+        "title",
+        "meta_description",
+        "text_content",
+        F.element_at("links", 1).alias("first_link"),
+        F.size("links").cast("long").alias("n_links"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+SQL_X_TOLERANT = """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'about ' || CAST(doc_id AS VARCHAR) AS meta_description,
+           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' H ' ||
+                CAST(doc_id AS VARCHAR) || ' ' ||
+                regexp_replace(text, '[<>&"]', ' ', 'g') || ' go', '\\s+', ' ', 'g')) AS text_content,
+           'https://x.example.com/p/' || CAST(doc_id AS VARCHAR) AS first_link,
+           CAST(1 AS BIGINT) AS n_links,
+           CAST(5 AS BIGINT) AS n_spans
+    FROM documents
+"""
+
+
 def q_robots_filter(spark, sf_dir):
     """North-rule robots disallow-prefix filter as a broadcast anti
     pattern (operators/links.py filter_robots semantics)."""
@@ -753,6 +806,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spans_interleave": q_spans_interleave,
     "j1_link_pipeline": q_j1_link_pipeline,
     "x_extract_roundtrip": q_x_extract_roundtrip,
+    "x_extract_tolerant": q_x_extract_tolerant,
     "robots_filter": q_robots_filter,
     "dedup_lsh_jaccard_pairs": q_dedup_lsh_jaccard_pairs,
     "a3_retry_stats": q_a3_retry_stats,
@@ -773,6 +827,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "spans_interleave": SQL_SPANS,
     "j1_link_pipeline": SQL_J1_PIPELINE,
     "x_extract_roundtrip": SQL_X_ROUNDTRIP,
+    "x_extract_tolerant": SQL_X_TOLERANT,
     "robots_filter": SQL_ROBOTS,
     "dedup_lsh_jaccard_pairs": _sql_lsh_pairs(),
     "a3_retry_stats": _sql_a3(),

@@ -116,20 +116,26 @@ def host_budget_state(
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         used = state.get[0] if state.exists else 0
-        out = []
+        frames = []
         for pdf in pdfs:
+            # vectorized: admit_seq = carried counter + batch-local rank
+            # (sorted cumsum), no per-row Python (VERDICT r01 item 5)
             pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
-            for _, row in pdf.iterrows():
-                used += 1
-                out.append({
-                    "host": host,
-                    "url": row["url"],
-                    "ts": row["ts"],
-                    "admit_seq": used,
-                    "admitted": 1 if used <= limit else 0,
-                })
+            seq = used + pd.RangeIndex(1, len(pdf) + 1)
+            frames.append(pd.DataFrame({
+                "host": host,
+                "url": pdf["url"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "admit_seq": seq.astype("int64"),
+                "admitted": (seq <= limit).astype("int64"),
+            }))
+            used += len(pdf)
         state.update((used,))
-        yield pd.DataFrame(out, columns=[f.name for f in BUDGET_OUTPUT.fields])
+        cols = [f.name for f in BUDGET_OUTPUT.fields]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)[cols]
+        else:
+            yield pd.DataFrame(columns=cols)
 
     return frontier.groupBy(host_col).applyInPandasWithState(
         update,

@@ -1,0 +1,179 @@
+"""Tolerant (stdlib-HTMLParser) extraction path: real-world-HTML
+fixtures the strict corpus-grammar tokenizer cannot parse, plus exact
+parity with the strict parser on the corpus grammar (the oracle-equality
+precondition for the auto-dispatch in operators/extract.py).
+
+Semantics source: the reference's BeautifulSoup(html.parser) usage,
+/root/reference/app/services/crawler.py:284-344."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_service_spark.functions.html import (
+    ALL_KINDS,
+    extract_page,
+    extract_page_auto,
+    extract_page_tolerant,
+    is_corpus_grammar,
+    render_html,
+)
+
+BASE = "https://host.example.com/page/0"
+
+
+def test_uppercase_tags_and_attrs():
+    html = ('<HTML><HEAD><TITLE>Big Title</TITLE>'
+            '<META NAME="description" CONTENT="desc here"></HEAD>'
+            '<BODY><H1>Head One</H1><P>para text</P>'
+            '<A HREF="/next">go</A></BODY></HTML>')
+    out = extract_page_tolerant(html, BASE)
+    assert out["title"] == "Big Title"
+    assert out["meta_description"] == "desc here"
+    assert out["headings"]["h1"] == ["Head One"]
+    assert out["links"] == ["https://host.example.com/next"]
+    assert "para text" in out["text_content"]
+
+
+def test_single_quotes_and_attr_reorder():
+    html = ("<html><head>"
+            "<meta content='reordered desc' name='description'>"
+            "<link href='/canon' rel='canonical'></head>"
+            "<body><img alt='a pic' src='/img.png' loading='lazy'>"
+            "<a class='x' href='/p'>t</a></body></html>")
+    out = extract_page_tolerant(html, BASE)
+    assert out["meta_description"] == "reordered desc"
+    assert out["canonical_url"] == "https://host.example.com/canon"
+    assert out["images"] == ["https://host.example.com/img.png"]
+    assert out["image_alt_text"] == ["a pic"]
+    assert out["links"] == ["https://host.example.com/p"]
+
+
+def test_unquoted_attrs_and_extra_whitespace():
+    html = ('<html>\n  <body>\n    <a href=/rel>link</a>\n'
+            '    <img src=pic.gif alt=>\n  </body>\n</html>')
+    out = extract_page_tolerant(html, BASE)
+    assert out["links"] == ["https://host.example.com/rel"]
+    assert out["images"] == ["https://host.example.com/page/pic.gif"]
+    assert out["image_alt_text"] == []          # empty alt dropped
+    assert out["text_content"] == "link"
+
+
+def test_nested_inline_tags():
+    html = ("<html><body><h2>Head <em>with</em> <b>markup</b></h2>"
+            "<p>see <a href='https://x.example.com/'>here</a> now</p>"
+            "</body></html>")
+    out = extract_page_tolerant(html, BASE)
+    assert out["headings"]["h2"] == ["Head with markup"]
+    assert out["links"] == ["https://x.example.com/"]
+    # p span captures the subtree text
+    p_spans = [s for s in out["spans"] if s["kind"] == "text"]
+    assert p_spans and p_spans[0]["text"] == "see here now"
+
+
+def test_script_style_stripped():
+    html = ("<html><head><style>p {color: red}</style>"
+            "<script>var x = '<p>not text</p>';</script></head>"
+            "<body><p>real text</p></body></html>")
+    out = extract_page_tolerant(html, BASE)
+    assert out["text_content"] == "real text"
+
+
+def test_unclosed_tags_salvaged():
+    html = "<html><body><h1>open heading<p>para one<p>para two"
+    out = extract_page_tolerant(html, BASE)
+    # html.parser nests unclosed elements; all text survives
+    assert "open heading" in out["text_content"]
+    assert "para one" in out["text_content"]
+    assert "para two" in out["text_content"]
+
+
+def test_first_title_meta_canonical_win():
+    html = ("<html><head><title>first</title><title>second</title>"
+            '<meta name="description" content="m1">'
+            '<meta name="description" content="m2">'
+            '<link rel="canonical" href="/c1">'
+            '<link rel="canonical" href="/c2"></head><body></body></html>')
+    out = extract_page_tolerant(html, BASE)
+    assert out["title"] == "first"
+    assert out["meta_description"] == "m1"
+    assert out["canonical_url"] == "https://host.example.com/c1"
+
+
+def test_entities_decoded():
+    html = "<html><body><p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;</p></body></html>"
+    out = extract_page_tolerant(html, BASE)
+    assert out["text_content"] == "a & b <c> \"d\" 'e'"
+
+
+def test_rel_multi_valued_canonical():
+    html = '<html><head><link rel="alternate canonical" href="/c"></head><body></body></html>'
+    out = extract_page_tolerant(html, BASE)
+    assert out["canonical_url"] == "https://host.example.com/c"
+
+
+def test_non_http_links_dropped():
+    html = ('<html><body><a href="mailto:x@y.z">m</a>'
+            '<a href="ftp://f/">f</a><a href="/ok">o</a></body></html>')
+    out = extract_page_tolerant(html, BASE)
+    assert out["links"] == ["https://host.example.com/ok"]
+
+
+# -- strict parity on the corpus grammar ------------------------------------
+
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30)
+_span = st.fixed_dictionaries({
+    "kind": st.sampled_from(ALL_KINDS),
+    "text": _text,
+    "media_ref": _text,
+    "offset": st.integers(0, 100),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_span, max_size=12))
+def test_tolerant_equals_strict_on_corpus_grammar(spans):
+    html = render_html(spans)
+    assert is_corpus_grammar(html), html
+    a = extract_page(html, BASE)
+    b = extract_page_tolerant(html, BASE)
+    assert a == b
+    assert extract_page_auto(html, BASE) == a
+
+
+def test_grammar_detector_rejects_messy():
+    for html in (
+        "<HTML><HEAD></HEAD><BODY></BODY></HTML>",
+        "<html><head></head><body><p>unclosed</body></html>",
+        "<html><head></head><body><a href='x'>s</a></body></html>",
+        "<html><head></head><body><p>a</p> </body></html>",
+        "plain text, no tags",
+    ):
+        assert not is_corpus_grammar(html), html
+
+
+def test_auto_dispatch_in_extract_stage(spark):
+    """Messy pages flow through the mapInPandas stage and extract via the
+    tolerant path; corpus pages keep strict-parser outputs."""
+    from crawler_service_spark.config import CrawlConfig
+    from crawler_service_spark.operators.extract import extract_pages
+
+    corpus = render_html([
+        {"kind": "title", "text": "T0", "media_ref": None, "offset": 0},
+        {"kind": "link", "text": "https://h.example.com/x", "media_ref": None,
+         "offset": 1},
+    ])
+    messy = ('<HTML><BODY><H1>Messy</H1>'
+             "<a href='https://h.example.com/y'>y</a></BODY></HTML>")
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": [BASE, BASE],
+        "html": [corpus, messy],
+        "is_error": [False, False],
+    }))
+    rows = {r["html"][:6]: r for r in
+            extract_pages(df, CrawlConfig()).collect()}
+    assert rows["<html>"]["title"] == "T0"
+    assert rows["<html>"]["links"] == ["https://h.example.com/x"]
+    assert rows["<HTML>"]["headings"]["h1"] == ["Messy"]
+    assert rows["<HTML>"]["links"] == ["https://h.example.com/y"]
