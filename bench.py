@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 HEADLINE = [
     # crawler-shaped core (SURVEY §2)
     "p1_canonicalize",
+    "p1_canonicalize_hybrid",
     "d1_seen_antijoin",
+    "d1_bloom_sharded",
     "d2_first_occurrence",
     "rl1_budget_rank",
     "rl1_wait_time",
@@ -46,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
+    "x_extract_tolerant",
 ]
 
 

@@ -204,6 +204,55 @@ def schedule_round(
     return admitted, deferred
 
 
+def set_host_policy(
+    spark,
+    policy: DataFrame | None,
+    host: str,
+    rate_limit: int,
+    *,
+    window_s: int = 60,
+    crawl_delay_s: float = 0.0,
+    disallow_prefixes: list[str] | None = None,
+) -> DataFrame:
+    """Admin surface: upsert a per-host rate limit
+    (admin.py:73-87 `set_domain_limit`). The batch analog of the live
+    mutation is a new policy dimension — the next `schedule_round`
+    broadcast picks it up; no engine state to poke.
+
+    Raises ValueError on non-positive limits (admin.py:81-82).
+    """
+    if rate_limit <= 0:
+        raise ValueError("Limit must be positive")
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StringType, StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("host", StringType()),
+        StructField("rate_limit", IntegerType()),
+        StructField("window_s", IntegerType()),
+        StructField("crawl_delay_s", DoubleType()),
+        StructField("disallow_prefixes", ArrayType(StringType())),
+    ])
+    row = spark.createDataFrame(
+        [(host, int(rate_limit), int(window_s), float(crawl_delay_s),
+          list(disallow_prefixes or []))],
+        schema,
+    )
+    if policy is None:
+        return row
+    return policy.filter(F.col("host") != host).unionByName(row)
+
+
+def remove_host_policy(policy: DataFrame | None, host: str) -> DataFrame | None:
+    """Admin surface: drop a host's custom limit → revert to defaults
+    (admin.py:97-109 `remove_domain_limit`)."""
+    if policy is None:
+        return None
+    return policy.filter(F.col("host") != host)
+
+
 def domain_stats(scheduled: DataFrame) -> DataFrame:
     """A4: per-host limit / current / remaining
     (rate_limiter.py:152-173), over the latest scheduled window."""

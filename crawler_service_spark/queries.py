@@ -91,6 +91,16 @@ def q_p1_canonicalize(spark, sf_dir):
     )
 
 
+def q_p1_canonicalize_hybrid(spark, sf_dir):
+    """P1 through the production hybrid (canonicalize_frame): JVM-native
+    fast path + pandas-UDF fallback — same oracle as the pure-UDF P1,
+    proving byte parity of the hybrid the engine actually runs."""
+    from crawler_service_spark.functions.urls import canonicalize_frame
+
+    urls = _synth_urls(load(spark, sf_dir, "orders"))
+    return canonicalize_frame(urls, "url").select("id", "canon_url")
+
+
 SQL_P1 = f"""
     SELECT id,
            'https://host' || CAST(id % 97 AS VARCHAR) || '.example.com/p/' ||
@@ -818,6 +828,7 @@ SQL_FINGERPRINT = """
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_canonicalize": q_p1_canonicalize,
+    "p1_canonicalize_hybrid": q_p1_canonicalize_hybrid,
     "p2_host_extract": q_p2_host_extract,
     "f1_internal_filter": q_f1_internal_filter,
     "d1_seen_antijoin": q_d1_seen_antijoin,
@@ -854,6 +865,7 @@ SPARK_QUERIES.update(SPARK_QUERIES_EXT)
 
 ORACLE_SQL: dict[str, str] = {
     "p1_canonicalize": SQL_P1,
+    "p1_canonicalize_hybrid": SQL_P1,
     "p2_host_extract": SQL_P2,
     "f1_internal_filter": SQL_F1,
     "d1_seen_antijoin": SQL_D1,

@@ -41,7 +41,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-JOB_N_DEFAULT = {"round": 2_000_000, "schedule": 16_000_000}
+"""Job sizes: large enough that per-run fixed costs (broadcast builds,
+stage scheduling, Python worker management — ~15 s measured) are small
+against the scan/shuffle work at BOTH levels; the north rule describes a
+10^10-row frontier, so the asymptotic regime is the honest one."""
+JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 32_000_000}
 JOB_LABEL = {
     "round": "URLs through a full crawl round / sec",
     "schedule": "URLs scheduled+deduped / sec (shuffle core)",
@@ -80,13 +84,43 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+class ProbeSampler:
+    """Samples cpu_probe every few seconds ON CORES OUTSIDE the measured
+    set (28-31) for the duration of a run — host slowdowns hit all cores,
+    so this tracks hypervisor speed DURING the run without perturbing the
+    pinned benchmark. probe_sec = median of samples."""
+
+    def __init__(self, cores=(28, 29, 30, 31), interval_s: float = 4.0):
+        import threading
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+
+        def loop():
+            try:
+                os.sched_setaffinity(0, set(cores))
+            except OSError:
+                pass
+            while not self._stop.is_set():
+                self.samples.append(cpu_probe())
+                self._stop.wait(interval_s)
+
+        self._t = threading.Thread(target=loop, daemon=True)
+        self._t.start()
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._t.join(timeout=10)
+        s = sorted(self.samples) or [0.0]
+        return round(s[len(s) // 2], 4)
+
+
 def run_once(job: str, cpus: int, n_urls: int,
              quiet_load: float | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     if quiet_load is not None:
         wait_for_quiet(quiet_load)
     load_before = os.getloadavg()[0]
-    probe0 = cpu_probe()
+    sampler = ProbeSampler()
     steal0, total0 = read_cpu_stat()
     # pin the JVM to exactly `cpus` physical cores: external load then
     # lands (mostly) on the remaining cores instead of randomly stealing
@@ -109,9 +143,9 @@ def run_once(job: str, cpus: int, n_urls: int,
     steal1, total1 = read_cpu_stat()
     dt = max(1, total1 - total0)
     rec["steal_pct"] = round(100.0 * (steal1 - steal0) / dt, 2)
-    # max of (before, after): if the host was slowed at either endpoint
-    # the run likely overlapped a slow window — classify conservatively
-    rec["probe_sec"] = round(max(probe0, cpu_probe()), 4)
+    # median of during-run samples taken on cores outside the measured set
+    rec["probe_sec"] = sampler.stop()
+    rec["probe_n"] = len(sampler.samples)
     return rec
 
 
@@ -234,13 +268,21 @@ scaling efficiency {eff:.3f}** (best-vs-best: {best_speedup:.2f}×, {best_eff:.3
 
 Proxy for N→4N executors (no cluster in this sandbox): the engine's
 per-round pipeline at `local[{args.low}]` vs `local[{args.high}]`, fresh
-JVM per run, levels interleaved, ambient load recorded (this shared host
-shows external bursts that slow identical runs up to 6×; bests across
-the run history approximate the uncontended time — raw runs in
-`BENCH/history.json`). local[{args.high}] (= half the physical cores)
-rather than local[32]: a cluster's 4N adds whole nodes, each with its
-own memory bandwidth; 32 threads on one box saturate its DRAM bus and
-benchmark the bus (measured: local[16] outruns local[32] absolutely).
+JVM per run, pinned to exactly N cores via taskset, levels interleaved.
+
+**Measurement methodology.** This box is a VM whose effective CPU speed
+swings 1.6-3× on the hypervisor's schedule (invisible to steal
+accounting — a fixed single-thread spin probe varies 0.60-0.98 s at
+idle). Every run therefore records the spin probe before and after;
+stats keep only runs probed within {int((PROBE_SLACK - 1) * 100)}% of
+the fastest observed host speed, and report the MEDIAN over those clean
+runs (IQR and best disclosed; raw runs in `BENCH/history.json`).
+local[{args.high}] (= half the physical cores) rather than local[32]:
+a cluster's 4N adds whole nodes, each with its own memory bandwidth; 32
+threads on one box saturate its DRAM bus and benchmark the bus
+(measured: local[16] outruns local[32] absolutely). Shuffle/spill dirs
+and round snapshots live on tmpfs — the single virtual disk is not a
+resource a real cluster shares, and executors bring their own storage.
 
 The **round job** — one full engine round: hybrid canonicalization
 (JVM-native fast path + exact pandas-UDF fallback) → first-occurrence

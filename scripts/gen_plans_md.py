@@ -103,7 +103,23 @@ def main() -> None:
         sched,
     )
 
-    # 5. broadcast policy join (J2)
+    # 5. sharded bloom probe — the 10^10-scale D1 prefilter
+    from crawler_service_spark.operators.dedup import ShardedBloomFilter
+
+    sb = ShardedBloomFilter(spark, num_bits=1 << 14, n_shards=4).fit(
+        seen, "canon_url")
+    add(
+        "D1 sharded-bloom probe (cogrouped shard-wise join)",
+        "The candidate batch shuffles on its (uniform) shard id and "
+        "cogroups with the ≤ n_shards bitmap rows — "
+        "`FlatMapCoGroupsInPandas` tests each row against exactly one "
+        "shard's bytes with vectorized numpy lookups. No bitmap on the "
+        "driver, none in any closure; bit positions are JVM-side "
+        "xxhash64 columns.",
+        sb.annotate(batch, "canon_url"),
+    )
+
+    # 6. broadcast policy join (J2)
     from crawler_service_spark.queries import q_j2_policy_join
 
     add(

@@ -161,3 +161,35 @@ def test_skew_rank_mixed_priority_hot_host(spark):
     assert ka == kb
     # sanity: the depth-1 rows must outrank every depth-2 row on the hot host
     assert ka[("hot", 300)] == 1
+
+
+def test_policy_admin_mutation(spark):
+    """set/remove host policy (admin.py:56-109 analog): the next
+    schedule_round sees the new limit through the broadcast join."""
+    import pytest as _pytest
+
+    from crawler_service_spark.operators.politeness import (
+        remove_host_policy,
+        set_host_policy,
+    )
+
+    rows = [("hot", 0, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "host string, depth int, discovery_seq long")
+
+    pol = set_host_policy(spark, None, "hot", 3, window_s=60)
+    a, _ = schedule_round(df, pol, default_limit=10, default_window_s=60,
+                          budget_rounds=1, skew_safe=False)
+    assert a.count() == 3          # custom limit applies
+
+    pol2 = set_host_policy(spark, pol, "hot", 7)       # upsert overwrites
+    a2, _ = schedule_round(df, pol2, default_limit=10, default_window_s=60,
+                           budget_rounds=1, skew_safe=False)
+    assert a2.count() == 7
+
+    pol3 = remove_host_policy(pol2, "hot")             # revert to default
+    a3, _ = schedule_round(df, pol3, default_limit=10, default_window_s=60,
+                           budget_rounds=1, skew_safe=False)
+    assert a3.count() == 10
+
+    with _pytest.raises(ValueError):
+        set_host_policy(spark, None, "hot", 0)
