@@ -89,16 +89,23 @@ def skew_resistant_host_rank(
     capped at 0.42). Adaptive plan — salt ONLY the hot hosts:
 
     1. per-host counts (map-side partial agg, tiny shuffle) split hosts
-       at ``salt_width`` rows: cold hosts keep the plain window (every
-       task < salt_width rows — already balanced);
+       at ``salt_width`` rows; the ≤ n/salt_width hot hosts are COLLECTED
+       (tiny by construction when salt_width scales ∝ n, as the engine
+       sets it) so membership is a literal InSet predicate, not a join —
+       round 1's broadcast-join chain (hot → offsets → main query) was
+       three serialized driver-coordinated builds and measured FLAT
+       across core counts;
     2. hot hosts get ``salt = discovery_seq div salt_width`` — a pure
        function of the sort key, so salt buckets are *contiguous seq
        ranges* (no sampling pass, unlike ``repartitionByRange``, whose
        range-bounds job re-executes the whole upstream lineage); local
        ``row_number`` within (host, salt) spreads the host over
        ≈ max_seq/salt_width tasks;
-    3. per-(host, salt) counts → running offsets per host in salt order
-       → broadcast back; global rank = local rank + offset.
+    3. per-(host, salt) counts (≤ n_hot × n_buckets rows, collected) →
+       exclusive prefix sums built driver-side → shipped back as a
+       literal broadcast dimension; global rank = local rank + offset.
+       Cold and hot branches then have no inter-stage dependencies and
+       run concurrently.
 
     PRECONDITION (checked, not just documented): salting is only valid
     when ``priority_col`` is constant within a host's batch — salt
@@ -109,42 +116,68 @@ def skew_resistant_host_rank(
     host with mixed priorities — e.g. deferred rows re-entering a later
     frontier — safely falls back to the plain per-host window.
     """
-    host_counts = b.groupBy("host").agg(
-        F.count("*").alias("_hc"),
-        F.min(priority_col).alias("_pmin"),
-        F.max(priority_col).alias("_pmax"),
+    # Hot hosts number at most n/salt_width BY CONSTRUCTION (each holds
+    # ≥ salt_width rows) — small enough to collect at any scale where a
+    # driver runs at all (10^10 rows / 2^18 salt ≈ 38k hosts). Driving
+    # the split with the collected list instead of broadcast JOINS
+    # removes the serialized broadcast-build chain (hot → offsets → main
+    # query) that measured FLAT across core counts (13.2 s at local[4]
+    # vs 11.4 s at local[16]): the final query's cold and hot branches
+    # now have no inter-stage dependencies and run concurrently.
+    hot_rows = (
+        b.groupBy("host").agg(
+            F.count("*").alias("_hc"),
+            F.min(priority_col).alias("_pmin"),
+            F.max(priority_col).alias("_pmax"),
+        )
+        # salting requires constant priority per host (salt buckets are
+        # contiguous seq ranges); mixed-priority hot hosts — e.g.
+        # deferred rows re-entering a later frontier — fall back to the
+        # plain window (ADVICE r01)
+        .filter((F.col("_hc") >= int(salt_width))
+                & (F.col("_pmin") == F.col("_pmax")))
+        .select("host").collect()
     )
-    hot = host_counts.filter(
-        (F.col("_hc") >= int(salt_width)) & (F.col("_pmin") == F.col("_pmax"))
-    ).select("host")
+    hot_hosts = [r["host"] for r in hot_rows]
+
+    w_cold = Window.partitionBy("host").orderBy(priority_col, "discovery_seq")
+    if not hot_hosts:
+        return b.withColumn(
+            "host_rank", F.row_number().over(w_cold).cast("long"))
+
+    is_hot = F.col("host").isin(hot_hosts)
+    salt = F.floor(F.col("discovery_seq") / F.lit(int(salt_width))).cast("long")
+
+    # per-(host, salt) counts of hot rows → exclusive prefix sums, built
+    # driver-side from ≤ n_hot × n_buckets rows and shipped back as a
+    # literal broadcast dimension (no scan behind the broadcast build)
+    counts = (
+        b.filter(is_hot).groupBy("host", salt.alias("_salt"))
+        .agg(F.count("*").alias("_c")).collect()
+    )
+    by_host: dict[str, list] = {}
+    for r in counts:
+        by_host.setdefault(r["host"], []).append((r["_salt"], r["_c"]))
+    offset_rows = []
+    for host, pairs in by_host.items():
+        running = 0
+        for s, c in sorted(pairs):
+            offset_rows.append((host, int(s), running))
+            running += int(c)
+    offsets = b.sparkSession.createDataFrame(
+        offset_rows, "host string, _salt long, _off long")
 
     # cold hosts (< salt_width rows each): the plain per-host window is
     # already balanced — no task exceeds salt_width rows
-    cold = b.join(F.broadcast(hot), "host", "left_anti")
-    w_cold = Window.partitionBy("host").orderBy(priority_col, "discovery_seq")
-    cold_ranked = cold.withColumn("host_rank", F.row_number().over(w_cold).cast("long"))
+    cold_ranked = b.filter(~is_hot).withColumn(
+        "host_rank", F.row_number().over(w_cold).cast("long"))
 
-    # hot hosts: salt by seq range, rank locally, add per-bucket offsets.
-    # Salting EVERY host would make the offsets table ~buckets × hosts
-    # (hosts are interleaved across seq ranges — measured at ~2M rows,
-    # a 100 MB broadcast); restricted to the hot handful it is
-    # n_hot × buckets — trivially broadcastable.
-    bh = b.join(F.broadcast(hot), "host").withColumn(
-        "_salt", F.floor(F.col("discovery_seq") / F.lit(int(salt_width))).cast("long")
-    )
-    w_local = Window.partitionBy("host", "_salt").orderBy(priority_col, "discovery_seq")
-    local = bh.withColumn("_lrn", F.row_number().over(w_local))
-    counts = bh.groupBy("host", "_salt").agg(F.count("*").alias("_c"))
-    w_off = (
-        Window.partitionBy("host")
-        .orderBy("_salt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "host", "_salt", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
-    )
+    w_local = Window.partitionBy("host", "_salt").orderBy(
+        priority_col, "discovery_seq")
     hot_ranked = (
-        local.join(F.broadcast(offsets), ["host", "_salt"])
+        b.filter(is_hot).withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["host", "_salt"])
         .withColumn("host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_salt", "_lrn", "_off")
     )

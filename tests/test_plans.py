@@ -51,6 +51,8 @@ def test_tpch_q1_stays_in_codegen(spark):
 
 
 def test_skew_safe_schedule_shuffle_budget(spark):
+    # no genuinely hot host (154 rows/host < salt_width): the adaptive
+    # rank must degrade to ONE plain window — no joins, one exchange
     batch = spark.range(2000).select(
         F.concat(F.lit("h"), (F.col("id") % 13).cast("string")).alias("host"),
         F.lit(0).alias("depth"),
@@ -59,14 +61,26 @@ def test_skew_safe_schedule_shuffle_budget(spark):
     admitted, _ = schedule_round(batch, None, skew_safe=True, shuffle_partitions=8,
                                  salt_width=200)
     plan = explain_str(admitted)
-    # hot-host membership and salt offsets must come back to the big side
-    # via broadcast joins, never shuffled joins
+    assert "Join" not in plan, plan
+    assert count_exchanges(admitted) <= 2, plan
+
+    # one hot host: membership is a literal InSet predicate (no join, no
+    # broadcast-build chain); only the tiny driver-built offsets
+    # dimension comes back via a broadcast join
+    hot = spark.range(3000).select(
+        F.when(F.col("id") < 2000, "hot").otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 7).cast("string"))).alias("host"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    admitted, _ = schedule_round(hot, None, skew_safe=True, shuffle_partitions=8,
+                                 salt_width=500)
+    plan = explain_str(admitted)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     # row-bearing exchanges: cold window hash + hot (host,salt) window
-    # hash; the rest are tiny aggregate/cumsum sides (host-count split,
-    # (host,salt) counts, offset cumsum)
-    assert count_exchanges(admitted) <= 8, plan
+    # hash; plus the tiny local offsets broadcast
+    assert count_exchanges(admitted) <= 5, plan
 
 
 def test_anti_join_seen_is_exact_anti(spark):
