@@ -31,7 +31,7 @@ def first_occurrence(
 ) -> DataFrame:
     """D2: keep the first row per key in deterministic order.
 
-    Implemented as ``min(struct(order_cols…, payload))`` hash aggregation
+    Implemented as ``min(struct(order_cols…, payload))`` aggregation
     rather than a window rank: the partial (map-side) aggregate collapses
     duplicates BEFORE the shuffle, so on a dup-heavy link batch the
     exchange carries one row per key instead of every candidate — the
@@ -40,6 +40,14 @@ def first_occurrence(
     is lexicographic), which is strictly more deterministic than
     ``row_number``'s arbitrary tie order. Payload columns must be
     orderable (no maps) — true for frontier/link rows.
+
+    Physical note: a struct-with-strings min buffer forces SortAggregate
+    (both sides of the exchange sort by key). A measured alternative —
+    hash-agg ``min(order)`` + left-semi join for unique order keys — ran
+    3× SLOWER end-to-end: Catalyst pushes the semi-join through the
+    canonicalizer's fast/slow union, re-executing canonicalization per
+    branch and planning SMJ sorts anyway. The map-side-combining
+    SortAggregate is the right shape.
     """
     payload = [c for c in df.columns if c not in key_cols]
     m = df.groupBy(*[F.col(k) for k in key_cols]).agg(

@@ -112,31 +112,51 @@ def skew_resistant_host_rank(
     buckets are contiguous ``discovery_seq`` ranges, so a higher-priority
     row in a later seq range would rank after lower-priority rows. The
     hot-host split therefore requires ``min(priority) == max(priority)``
-    per host (computed in the same tiny aggregate as the counts); a hot
+    per host (computed in the same stats pass as the counts); a hot
     host with mixed priorities — e.g. deferred rows re-entering a later
     frontier — safely falls back to the plain per-host window.
+
+    SHAPE (round 2): round 1's version scanned ``b`` four times (host
+    counts, hot-bucket counts, cold filter, hot filter) with two window
+    shuffles unioned and three serialized driver barriers — measured as
+    the flattest stage in the schedule job's scaling profile. Now:
+
+    1. ONE stats pass, ONE action: ``groupBy(host, seq div salt_width)``
+       counts + priority extremes (map-side combine collapses the scan
+       to ≤ one short row per touched (host, bucket) pair), re-grouped
+       per host with the bucket list carried as ``collect_list`` — hot
+       hosts AND their bucket prefix-sum offsets come back in a single
+       collect of ≤ n/salt_width rows; never row data, no persist.
+    2. ONE ranking pass: every row gets ``_salt = hot ? seq div width
+       : 0`` and a single ``row_number() over (host, _salt)`` window —
+       cold hosts rank in their (host, 0) partition exactly as the
+       plain window would; hot hosts spread over ≈ max_seq/salt_width
+       tasks. A broadcast left join adds each hot bucket's exclusive
+       prefix-sum offset (cold rows coalesce to 0). One shuffle, one
+       sort, no union.
     """
-    # Hot hosts number at most n/salt_width BY CONSTRUCTION (each holds
-    # ≥ salt_width rows) — small enough to collect at any scale where a
-    # driver runs at all (10^10 rows / 2^18 salt ≈ 38k hosts). Driving
-    # the split with the collected list instead of broadcast JOINS
-    # removes the serialized broadcast-build chain (hot → offsets → main
-    # query) that measured FLAT across core counts (13.2 s at local[4]
-    # vs 11.4 s at local[16]): the final query's cold and hot branches
-    # now have no inter-stage dependencies and run concurrently.
+    salt = F.floor(F.col("discovery_seq") / F.lit(int(salt_width))).cast("long")
+
+    # hot = total rows ≥ salt_width AND constant priority across the host
+    # (mixed-priority hosts fall back to the plain window, ADVICE r01);
+    # ≤ n/salt_width result rows by construction — collectable at any
+    # scale, each carrying its own (bucket, count) list
     hot_rows = (
-        b.groupBy("host").agg(
-            F.count("*").alias("_hc"),
+        b.groupBy("host", salt.alias("_salt"))
+        .agg(
+            F.count("*").alias("_c"),
             F.min(priority_col).alias("_pmin"),
             F.max(priority_col).alias("_pmax"),
         )
-        # salting requires constant priority per host (salt buckets are
-        # contiguous seq ranges); mixed-priority hot hosts — e.g.
-        # deferred rows re-entering a later frontier — fall back to the
-        # plain window (ADVICE r01)
-        .filter((F.col("_hc") >= int(salt_width))
-                & (F.col("_pmin") == F.col("_pmax")))
-        .select("host").collect()
+        .groupBy("host")
+        .agg(
+            F.sum("_c").alias("_hc"),
+            F.min("_pmin").alias("_pn"),
+            F.max("_pmax").alias("_px"),
+            F.collect_list(F.struct("_salt", "_c")).alias("_buckets"),
+        )
+        .filter((F.col("_hc") >= int(salt_width)) & (F.col("_pn") == F.col("_px")))
+        .select("host", "_buckets").collect()
     )
     hot_hosts = [r["host"] for r in hot_rows]
 
@@ -145,43 +165,30 @@ def skew_resistant_host_rank(
         return b.withColumn(
             "host_rank", F.row_number().over(w_cold).cast("long"))
 
-    is_hot = F.col("host").isin(hot_hosts)
-    salt = F.floor(F.col("discovery_seq") / F.lit(int(salt_width))).cast("long")
-
-    # per-(host, salt) counts of hot rows → exclusive prefix sums, built
-    # driver-side from ≤ n_hot × n_buckets rows and shipped back as a
-    # literal broadcast dimension (no scan behind the broadcast build)
-    counts = (
-        b.filter(is_hot).groupBy("host", salt.alias("_salt"))
-        .agg(F.count("*").alias("_c")).collect()
-    )
-    by_host: dict[str, list] = {}
-    for r in counts:
-        by_host.setdefault(r["host"], []).append((r["_salt"], r["_c"]))
+    # hot buckets' exclusive prefix sums, built driver-side from the same
+    # single collect and shipped back as a literal broadcast dimension
     offset_rows = []
-    for host, pairs in by_host.items():
+    for r in hot_rows:
         running = 0
-        for s, c in sorted(pairs):
-            offset_rows.append((host, int(s), running))
+        for s, c in sorted((p["_salt"], p["_c"]) for p in r["_buckets"]):
+            offset_rows.append((r["host"], int(s), running))
             running += int(c)
     offsets = b.sparkSession.createDataFrame(
         offset_rows, "host string, _salt long, _off long")
 
-    # cold hosts (< salt_width rows each): the plain per-host window is
-    # already balanced — no task exceeds salt_width rows
-    cold_ranked = b.filter(~is_hot).withColumn(
-        "host_rank", F.row_number().over(w_cold).cast("long"))
-
+    is_hot = F.col("host").isin(hot_hosts)
     w_local = Window.partitionBy("host", "_salt").orderBy(
         priority_col, "discovery_seq")
-    hot_ranked = (
-        b.filter(is_hot).withColumn("_salt", salt)
+    return (
+        b.withColumn("_salt", F.when(is_hot, salt).otherwise(F.lit(0)))
         .withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["host", "_salt"])
-        .withColumn("host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
-        .drop("_salt", "_lrn", "_off")
+        .join(F.broadcast(offsets), ["host", "_salt"], "left")
+        .withColumn(
+            "host_rank",
+            (F.col("_lrn") + F.coalesce(F.col("_off"), F.lit(0))).cast("long"),
+        )
+        .select(*b.columns, "host_rank")
     )
-    return cold_ranked.unionByName(hot_ranked)
 
 
 def schedule_round(

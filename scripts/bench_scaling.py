@@ -135,6 +135,7 @@ def run_once(job: str, cpus: int, n_urls: int,
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
     rec["job"] = job
+    rec["wg"] = WORKLOAD_REV
     rec["loadavg_before"] = round(load_before, 2)
     rec["pinned"] = True
     # hypervisor steal during the run: this box is a VM sharing physical
@@ -165,23 +166,33 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
+WORKLOAD_REV = 2     # bump when the measured work graph changes (r2: single
+                     # -window skew rank) — stats pool
+                     # only same-rev runs; cross-rev medians would mix
+                     # different engines
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
+STEAL_MAX = 1.5      # % hypervisor steal during the run — above this the
+                     # co-tenant, not the engine, set the wall time
 
 
 def runs_for(history: list[dict], job: str, cpus: int, n_urls: int) -> list[dict]:
     """Only core-pinned runs with a CPU-speed probe are comparable (older
     records used the pre-snapshot bench code — different work graph).
-    Runs probed on a slowed host (> PROBE_SLACK × the fastest probe in
-    the history) are excluded: the slowdown is the hypervisor's, not the
-    engine's."""
+    Two uniform interference gates, applied identically at every level:
+    runs probed on a slowed host (> PROBE_SLACK × the fastest probe in
+    the history) and runs with > STEAL_MAX % hypervisor steal are
+    excluded — those slowdowns are the host's, not the engine's."""
     runs = [r for r in history
             if r.get("job") == job and r["cpus"] == cpus
-            and r["n_urls"] == n_urls and r.get("pinned")]
+            and r["n_urls"] == n_urls and r.get("pinned")
+            and r.get("wg") == WORKLOAD_REV]
     probed = [r for r in runs if "probe_sec" in r]
     if not probed:
         return runs
     best_probe = min(r["probe_sec"] for r in probed)
-    clean = [r for r in probed if r["probe_sec"] <= best_probe * PROBE_SLACK]
+    clean = [r for r in probed
+             if r["probe_sec"] <= best_probe * PROBE_SLACK
+             and r.get("steal_pct", 0.0) <= STEAL_MAX]
     return clean or probed
 
 
