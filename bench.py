@@ -165,6 +165,9 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
     from crawler_service_spark.operators.politeness import schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    # finer grain for the rank's window SORT stage only (identical at both
+    # parallelism levels; see skew_resistant_host_rank docstring)
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
         """Identical pipeline for warmup and the measured run."""
@@ -174,11 +177,13 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
         # round snapshot: tmpfs parquet (see `snapshot`) — the schedule's
         # hot/cold branches then re-read columnar parquet, not lineage
-        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"]),
+        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
+                                           shuffle_hash=True),
                      "sched_round")
         admitted, _ = schedule_round(
             b, None, default_limit=10, default_window_s=60,
-            round_epoch=0.0, priority_col="depth", shuffle_partitions=parts,
+            round_epoch=0.0, priority_col="depth",
+            shuffle_partitions=rank_parts,
             salt_width=max(1 << 14, n_rows // 256),
         )
         force(admitted)
@@ -236,6 +241,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
     from crawler_service_spark.operators.politeness import schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
     cfg = CrawlConfig()
 
     def mk_store(src: DataFrame) -> DataFrame:
@@ -263,10 +269,11 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
         )
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
         # round snapshot: tmpfs parquet (see `snapshot`)
-        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"]),
+        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
+                                           shuffle_hash=True),
                      "round_batch")
         admitted, _ = schedule_round(
-            b, None, priority_col="depth", shuffle_partitions=parts,
+            b, None, priority_col="depth", shuffle_partitions=rank_parts,
             salt_width=max(1 << 14, n_rows // 256),
         )
         fetched = (

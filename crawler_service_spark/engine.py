@@ -187,6 +187,12 @@ class CrawlEngine:
             frontier = self.storage.read_table(self.spark, "frontier", 0)
 
         deferral = cfg.budget_rounds is not None
+        # running count of the seen union, used only to pick the seen
+        # anti-join's physical strategy (broadcast vs hash-build). On
+        # resume a parquet count is footer-metadata only — no scan.
+        seen_total = (
+            self._read_seen(seen_rounds).count() if seen_rounds else 0
+        )
         # total discovery_seq values handed out before the PREVIOUS round's
         # expansion — frontier rows with seq >= prev_base are this round's
         # new arrivals (the whole frontier in non-deferral mode)
@@ -260,6 +266,9 @@ class CrawlEngine:
             ).select("task_id", "canon_url")
             self.storage.write_table(new_seen, "seen", rnd)
             seen_rounds.append(rnd)
+            # n_frontier bounds the new-seen rows this round (equality in
+            # non-deferral mode; a harmless overcount under deferral)
+            seen_total += n_frontier
             if bloom is not None:
                 bloom.update(
                     self.storage.read_table(self.spark, "seen", rnd)
@@ -303,6 +312,11 @@ class CrawlEngine:
                     ["task_id", "canon_url"],
                     bloom=bloom,
                     bloom_key="_bloom_key",
+                    # hash-build the seen side once it is too big to
+                    # broadcast anyway (count known from round counters —
+                    # no extra job); below that, leave the planner its
+                    # broadcast-anti plan
+                    shuffle_hash=seen_total > 2_000_000,
                 ).drop("_bloom_key")
                 # discovery_seq is GLOBAL: per-round dense rank over
                 # (parent_seq, link_pos) shifted by seq_base, so ordering
