@@ -221,6 +221,28 @@ def q_rl1_budget_rank(spark, sf_dir):
     )
 
 
+def q_rl1_budget_rank_salted(spark, sf_dir):
+    """Same rank, HOT path: salt_width=50 makes every 100-row host "hot",
+    so the DuckDB oracle also gates the salted two-level rank (the cold
+    path is what sf0.01 data exercises by default)."""
+    ev = load(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 100).cast("string")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.col("event_id").alias("discovery_seq"),
+    )
+    sched, _ = schedule_round(
+        batch, None, default_limit=10, default_window_s=60, round_epoch=0.0,
+        priority_col="priority", salt_width=50,
+    )
+    return sched.filter(F.col("host_rank") <= 30).select(
+        "host",
+        F.col("discovery_seq").alias("event_id"),
+        "host_rank",
+        F.round("virtual_fetch_time", 6).alias("virtual_fetch_time"),
+    )
+
+
 SQL_RL1 = """
     SELECT host, event_id, host_rank,
            round(CAST(floor((host_rank - 1) / 10) * 60 AS DOUBLE), 6) AS virtual_fetch_time
@@ -835,6 +857,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_bloom_sharded": q_d1_bloom_sharded,
     "d2_first_occurrence": q_d2_first_occurrence,
     "rl1_budget_rank": q_rl1_budget_rank,
+    "rl1_budget_rank_salted": q_rl1_budget_rank_salted,
     "rl1_wait_time": q_rl1_wait_time,
     "j2_policy_join": q_j2_policy_join,
     "r1_error_classify": q_r1_error_classify,
@@ -872,6 +895,7 @@ ORACLE_SQL: dict[str, str] = {
     "d1_bloom_sharded": SQL_D1,
     "d2_first_occurrence": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
+    "rl1_budget_rank_salted": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,
     "j2_policy_join": SQL_J2,
     "r1_error_classify": SQL_R1,

@@ -45,7 +45,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 stage scheduling, Python worker management — ~15 s measured) are small
 against the scan/shuffle work at BOTH levels; the north rule describes a
 10^10-row frontier, so the asymptotic regime is the honest one."""
-JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 16_000_000}
+JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 32_000_000}
 JOB_LABEL = {
     "round": "URLs through a full crawl round / sec",
     "schedule": "URLs scheduled+deduped / sec (shuffle core)",
