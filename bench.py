@@ -174,11 +174,12 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
         b = canonicalize_frame(src, "url").withColumn(
             "host", host_native(F.col("url"))
         )
-        b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
+        b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
+                             keep_hash=True)
         # round snapshot: tmpfs parquet (see `snapshot`) — the schedule's
         # hot/cold branches then re-read columnar parquet, not lineage
         b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
-                                           shuffle_hash=True),
+                                           shuffle_hash=True, hash_key=True),
                      "sched_round")
         admitted, _ = schedule_round(
             b, None, default_limit=10, default_window_s=60,
@@ -267,10 +268,11 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
         b = canonicalize_frame(src, "url").withColumn(
             "host", host_native(F.col("url"))
         )
-        b = first_occurrence(b, ["canon_url"], ["discovery_seq"])
+        b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
+                             keep_hash=True)
         # round snapshot: tmpfs parquet (see `snapshot`)
         b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
-                                           shuffle_hash=True),
+                                           shuffle_hash=True, hash_key=True),
                      "round_batch")
         admitted, _ = schedule_round(
             b, None, priority_col="depth", shuffle_partitions=rank_parts,

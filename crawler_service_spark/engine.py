@@ -303,8 +303,14 @@ class CrawlEngine:
                     cand, "url", "canon_url", cfg.sort_query_params,
                     single_scan=True,
                 )
+                # keep_hash/hash_key: dedup groups and the anti-join join
+                # on (xxhash64(key), key…) — the random-long sort prefix
+                # resolves SortAggregate comparisons that full-compare on
+                # the shared "https://…" prefix otherwise, and the
+                # anti-join reuses the aggregate's exchange
                 cand = first_occurrence(
-                    cand, ["task_id", "canon_url"], ["parent_seq", "link_pos"]
+                    cand, ["task_id", "canon_url"], ["parent_seq", "link_pos"],
+                    keep_hash=True,
                 )
                 cand = anti_join_seen(
                     cand.withColumn("_bloom_key", self._seen_key()),
@@ -317,6 +323,7 @@ class CrawlEngine:
                     # no extra job); below that, leave the planner its
                     # broadcast-anti plan
                     shuffle_hash=seen_total > 2_000_000,
+                    hash_key=True,
                 ).drop("_bloom_key")
                 # discovery_seq is GLOBAL: per-round dense rank over
                 # (parent_seq, link_pos) shifted by seq_base, so ordering

@@ -28,6 +28,7 @@ def first_occurrence(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
+    keep_hash: bool = False,
 ) -> DataFrame:
     """D2: keep the first row per key in deterministic order.
 
@@ -48,9 +49,25 @@ def first_occurrence(
     canonicalizer's fast/slow union, re-executing canonicalization per
     branch and planning SMJ sorts anyway. The map-side-combining
     SortAggregate is the right shape.
+
+    Sort-prefix note: canonical URLs share a long common prefix
+    ("https://…"), so Tungsten's 8-byte sort prefix never discriminates
+    and every SortAggregate comparison falls through to a full string
+    compare. Grouping by ``(xxhash64(keys), keys…)`` — identical
+    equivalence classes, the hash is a pure function of the keys — makes
+    the leading sort key a random long, so the radix/prefix comparator
+    resolves almost every comparison (measured 32M rows × 16 cores:
+    dedup stage 55.6 s → see BENCH notes).
+
+    ``keep_hash=True`` keeps that hash as a ``_kh`` output column: the
+    aggregate leaves the data hash-partitioned on ``(_kh, keys…)``, and a
+    downstream ``anti_join_seen(..., hash_key=True)`` joining on the same
+    composite reuses the partitioning — no extra exchange between dedup
+    and the seen anti-join.
     """
     payload = [c for c in df.columns if c not in key_cols]
-    m = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+    kh = F.xxhash64(*[F.col(k) for k in key_cols]).alias("_kh")
+    m = df.groupBy(kh, *[F.col(k) for k in key_cols]).agg(
         F.min(
             F.struct(
                 *[F.col(c) for c in order_cols],
@@ -58,7 +75,8 @@ def first_occurrence(
             )
         ).alias("_m")
     )
-    return m.select(*key_cols, "_m._row.*")
+    head = ["_kh", *key_cols] if keep_hash else list(key_cols)
+    return m.select(*head, "_m._row.*")
 
 
 class BloomPrefilter:
@@ -291,6 +309,7 @@ def anti_join_seen(
     bloom: "BloomPrefilter | ShardedBloomFilter | None" = None,
     bloom_key: str = "canon_url",
     shuffle_hash: bool = False,
+    hash_key: bool = False,
 ) -> DataFrame:
     """D1: rows of ``batch`` whose key is NOT in ``seen`` (exact).
 
@@ -308,14 +327,30 @@ def anti_join_seen(
     cumulative seen count clears a threshold (known from round counters —
     no extra job); the cluster analog at 10^10 seen keys is a bucketed
     seen table, which keeps the same hash-build shape shuffle-free.
+
+    ``hash_key=True`` joins on ``(xxhash64(keys), keys…)`` instead of the
+    raw keys — the same equivalence classes (the hash is a pure function
+    of the keys), but the composite matches the partitioning an upstream
+    ``first_occurrence(..., keep_hash=True)`` leaves behind, so the batch
+    side needs no new exchange; a batch already carrying ``_kh`` is used
+    as-is. The output never contains ``_kh``.
     """
+    join_cols = list(key_cols)
     seen_keys = seen.select(key_cols)
+    if hash_key:
+        kh = F.xxhash64(*[F.col(k) for k in key_cols]).alias("_kh")
+        if "_kh" not in batch.columns:
+            batch = batch.select(kh, "*")
+        seen_keys = seen_keys.select(kh, *key_cols)
+        join_cols = ["_kh", *key_cols]
     if shuffle_hash:
         seen_keys = seen_keys.hint("shuffle_hash")
     if bloom is not None and bloom.fitted:
         probed = bloom.annotate(batch, bloom_key)
         definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        survived = maybe.join(seen_keys, key_cols, "left_anti")
-        return definitely_new.unionByName(survived)
-    return batch.join(seen_keys, key_cols, "left_anti")
+        survived = maybe.join(seen_keys, join_cols, "left_anti")
+        out = definitely_new.unionByName(survived)
+    else:
+        out = batch.join(seen_keys, join_cols, "left_anti")
+    return out.drop("_kh") if hash_key else out
