@@ -201,7 +201,11 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
         )
         .select("canon_url")
     )
-    seen = seen.repartition(parts, "canon_url").persist()
+    # pre-partitioned on the composite hash-prefixed key the anti-join
+    # uses: the persisted seen side then joins with NO per-round exchange
+    # (cluster analog: a bucketed/Iceberg seen table bucketed on the key)
+    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
 
     # warmup (excluded): same pipeline at 1/40 scale — forks the Python
@@ -296,7 +300,8 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
             "url",
         ).select("canon_url")
     )
-    seen = seen.repartition(parts, "canon_url").persist()
+    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
     store = mk_store(synth_frontier(spark, n, n_hosts)).persist()
     store.count()

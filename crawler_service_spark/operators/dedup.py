@@ -341,7 +341,13 @@ def anti_join_seen(
         kh = F.xxhash64(*[F.col(k) for k in key_cols]).alias("_kh")
         if "_kh" not in batch.columns:
             batch = batch.select(kh, "*")
-        seen_keys = seen_keys.select(kh, *key_cols)
+        # a seen table that already carries _kh (e.g. persisted
+        # pre-partitioned on (_kh, keys…)) joins without a new exchange;
+        # otherwise compute the same pure-function hash on the fly
+        if "_kh" in seen.columns:
+            seen_keys = seen.select("_kh", *key_cols)
+        else:
+            seen_keys = seen_keys.select(kh, *key_cols)
         join_cols = ["_kh", *key_cols]
     if shuffle_hash:
         seen_keys = seen_keys.hint("shuffle_hash")

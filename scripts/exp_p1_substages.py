@@ -45,7 +45,8 @@ def main() -> None:
             "url",
         )
         .select("canon_url")
-        .repartition(parts, "canon_url")
+        .selectExpr("xxhash64(canon_url) AS _kh", "canon_url")
+        .repartition(parts, "_kh", "canon_url")
         .persist()
     )
     seen.count()
@@ -57,34 +58,45 @@ def main() -> None:
     # warmup of every path at 1/40
     wn = max(100_000, n // 40)
     wsrc = synth_frontier(spark, wn, 10_000)
-    wb = first_occurrence(canon(wsrc), ["canon_url"], ["discovery_seq"])
-    anti_join_seen(wb, seen, ["canon_url"], shuffle_hash=True) \
+    wb = first_occurrence(canon(wsrc), ["canon_url"], ["discovery_seq"],
+                          keep_hash=True)
+    anti_join_seen(wb, seen, ["canon_url"], shuffle_hash=True, hash_key=True) \
         .write.mode("overwrite").parquet(f"{SNAP_DIR}/p1_warm")
     settle(spark)
 
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from bench_scaling import ProbeSampler
+
     stages: dict[str, float] = {}
+    probes: dict[str, float] = {}
 
     def timed(name, fn):
+        sampler = ProbeSampler()
         t0 = time.monotonic()
         fn()
         stages[name] = round(time.monotonic() - t0, 3)
+        probes[name] = sampler.stop()
         settle(spark)
 
     timed("a_scan", lambda: force(frontier))
     timed("b_canon", lambda: force(canon(frontier)))
     timed("c_canon_dedup", lambda: force(
-        first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"])))
+        first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
+                         keep_hash=True)))
     timed("d_canon_dedup_anti", lambda: force(
         anti_join_seen(
-            first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"]),
-            seen, ["canon_url"], shuffle_hash=True)))
+            first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
+                             keep_hash=True),
+            seen, ["canon_url"], shuffle_hash=True, hash_key=True)))
     timed("e_full_write", lambda:
         anti_join_seen(
-            first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"]),
-            seen, ["canon_url"], shuffle_hash=True)
+            first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
+                             keep_hash=True),
+            seen, ["canon_url"], shuffle_hash=True, hash_key=True)
         .write.mode("overwrite").parquet(f"{SNAP_DIR}/p1_full"))
 
-    print(json.dumps({"cpus": args.cpus, "n": n, "stages": stages}))
+    print(json.dumps({"cpus": args.cpus, "n": n, "stages": stages,
+                      "probes": probes}))
     spark.stop()
 
 

@@ -24,6 +24,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from pyspark.sql import functions as F
 
@@ -57,7 +58,8 @@ def main() -> None:
             "url",
         )
         .select("canon_url")
-        .repartition(parts, "canon_url")
+        .selectExpr("xxhash64(canon_url) AS _kh", "canon_url")
+        .repartition(parts, "_kh", "canon_url")
         .persist()
     )
     seen.count()
@@ -77,8 +79,12 @@ def main() -> None:
     force(wadm)
     settle(spark)
 
-    stages: dict[str, float] = {}
+    from bench_scaling import ProbeSampler
 
+    stages: dict[str, float] = {}
+    probes: dict[str, float] = {}
+
+    sampler = ProbeSampler()
     t0 = time.monotonic()
     b = canonicalize_frame(frontier, "url").withColumn(
         "host", host_native(F.col("url")))
@@ -87,7 +93,9 @@ def main() -> None:
     anti_join_seen(b, seen, ["canon_url"], shuffle_hash=True, hash_key=True) \
         .write.mode("overwrite").parquet(path)
     stages["p1_canon_dedup_anti_write"] = round(time.monotonic() - t0, 3)
+    probes["p1"] = sampler.stop()
 
+    sampler = ProbeSampler()
     t0 = time.monotonic()
     b = spark.read.parquet(path)
     b = with_host_policy(b, None, 10, 60)
@@ -106,8 +114,10 @@ def main() -> None:
         .select("host", "_buckets").collect()
     )
     stages["p2_readback_stats_collect"] = round(time.monotonic() - t0, 3)
+    probes["p2"] = sampler.stop()
     stages["n_hot_hosts"] = len(hot_rows)
 
+    sampler = ProbeSampler()
     t0 = time.monotonic()
     ranked = skew_resistant_host_rank(b, "depth", rank_parts,
                                       salt_width=salt_width)
@@ -118,11 +128,13 @@ def main() -> None:
         (F.col("host_rank") - 1).cast("double") * F.col("crawl_delay_s"))
     force(ranked.withColumn("virtual_fetch_time", vtime))
     stages["p3_rank_force"] = round(time.monotonic() - t0, 3)
+    probes["p3"] = sampler.stop()
     stages["total"] = round(
         stages["p1_canon_dedup_anti_write"]
         + stages["p2_readback_stats_collect"] + stages["p3_rank_force"], 3)
 
-    print(json.dumps({"cpus": args.cpus, "n": n, "stages": stages}))
+    print(json.dumps({"cpus": args.cpus, "n": n, "stages": stages,
+                      "probes": probes}))
     spark.stop()
 
 
