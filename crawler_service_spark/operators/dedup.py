@@ -29,6 +29,7 @@ def first_occurrence(
     key_cols: list[str],
     order_cols: list[str],
     keep_hash: bool = False,
+    strategy: str = "agg",
 ) -> DataFrame:
     """D2: keep the first row per key in deterministic order.
 
@@ -64,9 +65,35 @@ def first_occurrence(
     downstream ``anti_join_seen(..., hash_key=True)`` joining on the same
     composite reuses the partitioning — no extra exchange between dedup
     and the seen anti-join.
+
+    ``strategy`` picks the physical shape by the batch's dup profile:
+
+    * ``"agg"`` (default) — the map-side-combining min(struct) aggregate
+      above. Right for DUP-HEAVY batches (in-crawl link expansions, where
+      hot pages are linked from everywhere): partial aggregation collapses
+      duplicates before the exchange.
+    * ``"window"`` — ``row_number() over (partition by (hash, keys…)
+      order by order_cols, payload…)`` + ``filter rn=1``. Right for
+      UNIQUE-HEAVY batches (seed frontiers, post-dedup rounds): with few
+      dups the partial aggregate collapses nothing, so the agg pays TWO
+      full sorts (map-side partial + final) for nothing; the window pays
+      ONE post-shuffle sort. Identical result — ties on ``order_cols``
+      still break by the remaining columns because they extend the sort
+      key, and the output partitioning is the same ``(_kh, keys…)``
+      composite, so the anti-join exchange-reuse holds for both.
     """
     payload = [c for c in df.columns if c not in key_cols]
     kh = F.xxhash64(*[F.col(k) for k in key_cols]).alias("_kh")
+    if strategy == "window":
+        rest = [c for c in payload if c not in order_cols]
+        w = Window.partitionBy("_kh", *key_cols).orderBy(*order_cols, *rest)
+        head = ["_kh", *key_cols] if keep_hash else list(key_cols)
+        return (
+            df.select(kh, "*")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*head, *payload)
+        )
     m = df.groupBy(kh, *[F.col(k) for k in key_cols]).agg(
         F.min(
             F.struct(
