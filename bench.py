@@ -89,6 +89,12 @@ def force(df: DataFrame) -> None:
 
 SNAP_DIR = os.environ.get("SPARK_GRAFT_SNAP_DIR", "/dev/shm/spark_graft_bench")
 
+# first_occurrence physical strategy for the frontier jobs: "window"
+# because a scheduling round's input frontier is unique-heavy (see
+# operators/dedup.py docstring) — the engine's own link-expansion dedup
+# keeps the "agg" default, where duplicates ARE collapsed map-side.
+DEDUP_STRATEGY = os.environ.get("SPARK_GRAFT_DEDUP_STRATEGY", "window")
+
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Materialize a round snapshot as parquet on tmpfs and read it back —
@@ -174,8 +180,13 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> di
         b = canonicalize_frame(src, "url").withColumn(
             "host", host_native(F.col("url"))
         )
+        # window strategy: the round's input frontier is unique-heavy
+        # (link-expansion dedup already ran when these URLs were
+        # discovered), so the min-struct agg's map-side sort collapses
+        # nothing and just burns a second DRAM pass — measured 46.0s(agg)
+        # vs 34.4s(window) at c16, 111.6 vs 116.6 at c4 on the 32M core
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
-                             keep_hash=True)
+                             keep_hash=True, strategy=DEDUP_STRATEGY)
         # round snapshot: tmpfs parquet (see `snapshot`) — the schedule's
         # hot/cold branches then re-read columnar parquet, not lineage
         b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
@@ -273,7 +284,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int) -> dict:
             "host", host_native(F.col("url"))
         )
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
-                             keep_hash=True)
+                             keep_hash=True, strategy=DEDUP_STRATEGY)
         # round snapshot: tmpfs parquet (see `snapshot`)
         b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
                                            shuffle_hash=True, hash_key=True),

@@ -166,8 +166,8 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
-WORKLOAD_REV = 2     # bump when the measured work graph changes (r2: single
-                     # -window skew rank) — stats pool
+WORKLOAD_REV = 3     # bump when the measured work graph changes (r3:
+                     # window-strategy frontier dedup) — stats pool
                      # only same-rev runs; cross-rev medians would mix
                      # different engines
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
