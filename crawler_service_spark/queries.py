@@ -192,6 +192,16 @@ def q_d2_first_occurrence(spark, sf_dir):
     return first_occurrence(ev, ["k"], ["ts", "event_id"]).select("k", "event_id")
 
 
+def q_d2_first_occurrence_window(spark, sf_dir):
+    """Same D2 semantics through the window physical strategy (one
+    post-shuffle sort — the unique-heavy-batch shape; operators/dedup.py
+    docstring). Identical oracle: the strategies must be row-identical."""
+    ev = load(spark, sf_dir, "events").withColumn("k", F.col("user_id") % 500)
+    return first_occurrence(
+        ev, ["k"], ["ts", "event_id"], strategy="window"
+    ).select("k", "event_id")
+
+
 SQL_D2 = """
     SELECT user_id % 500 AS k, event_id FROM events
     QUALIFY row_number() OVER (PARTITION BY user_id % 500 ORDER BY ts, event_id) = 1
@@ -856,6 +866,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_seen_antijoin": q_d1_seen_antijoin,
     "d1_bloom_sharded": q_d1_bloom_sharded,
     "d2_first_occurrence": q_d2_first_occurrence,
+    "d2_first_occurrence_window": q_d2_first_occurrence_window,
     "rl1_budget_rank": q_rl1_budget_rank,
     "rl1_budget_rank_salted": q_rl1_budget_rank_salted,
     "rl1_wait_time": q_rl1_wait_time,
@@ -894,6 +905,7 @@ ORACLE_SQL: dict[str, str] = {
     "d1_seen_antijoin": SQL_D1,
     "d1_bloom_sharded": SQL_D1,
     "d2_first_occurrence": SQL_D2,
+    "d2_first_occurrence_window": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
     "rl1_budget_rank_salted": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,

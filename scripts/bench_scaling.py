@@ -84,15 +84,41 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+_MEM_BUF = None
+
+
+def mem_probe() -> float:
+    """GB/s for a single-thread streaming read of a 128 MB buffer (looped
+    to ~1 GB of traffic). The spin probe is a register-only ALU loop —
+    it sees hypervisor FREQUENCY changes but is blind to co-tenant
+    MEMORY-BANDWIDTH contention, which is exactly the resource the
+    16-core shuffle stages saturate; identical runs can differ 30%+ in
+    wall time with identical spin probes. This probe reads DRAM, so
+    contention shows up directly."""
+    global _MEM_BUF
+    import numpy as np
+    if _MEM_BUF is None:
+        _MEM_BUF = np.ones((128 << 20) // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        float(_MEM_BUF.sum())
+    dt = time.perf_counter() - t0
+    return round(8 * _MEM_BUF.nbytes / dt / 1e9, 2)
+
+
 class ProbeSampler:
-    """Samples cpu_probe every few seconds ON CORES OUTSIDE the measured
-    set (28-31) for the duration of a run — host slowdowns hit all cores,
-    so this tracks hypervisor speed DURING the run without perturbing the
-    pinned benchmark. probe_sec = median of samples."""
+    """Samples cpu_probe (and, every other tick, mem_probe) every few
+    seconds ON CORES OUTSIDE the measured set (28-31) for the duration of
+    a run — host slowdowns hit all cores, so this tracks hypervisor speed
+    DURING the run without perturbing the pinned benchmark. The
+    bandwidth samples read ~1 GB every ~8 s (~1% of box bandwidth,
+    identical overhead at every level). probe_sec / membw median of
+    samples."""
 
     def __init__(self, cores=(28, 29, 30, 31), interval_s: float = 4.0):
         import threading
         self.samples: list[float] = []
+        self.bw_samples: list[float] = []
         self._stop = threading.Event()
 
         def loop():
@@ -100,8 +126,15 @@ class ProbeSampler:
                 os.sched_setaffinity(0, set(cores))
             except OSError:
                 pass
+            tick = 0
             while not self._stop.is_set():
                 self.samples.append(cpu_probe())
+                if tick % 2 == 1:
+                    try:
+                        self.bw_samples.append(mem_probe())
+                    except Exception:
+                        pass
+                tick += 1
                 self._stop.wait(interval_s)
 
         self._t = threading.Thread(target=loop, daemon=True)
@@ -113,6 +146,10 @@ class ProbeSampler:
         s = sorted(self.samples) or [0.0]
         return round(s[len(s) // 2], 4)
 
+    def membw(self) -> float:
+        s = sorted(self.bw_samples) or [0.0]
+        return round(s[len(s) // 2], 2)
+
 
 def run_once(job: str, cpus: int, n_urls: int,
              quiet_load: float | None = None) -> dict:
@@ -120,6 +157,14 @@ def run_once(job: str, cpus: int, n_urls: int,
     if quiet_load is not None:
         wait_for_quiet(quiet_load)
     load_before = os.getloadavg()[0]
+    # ambient bandwidth before the run starts (own job not yet running):
+    # co-tenant DRAM pressure that the spin probe cannot see. The
+    # during-run membw_gbps also includes our own traffic (more at 16
+    # cores than at 4), so only THIS number is comparable across levels.
+    try:
+        membw_before = mem_probe()
+    except Exception:
+        membw_before = 0.0
     sampler = ProbeSampler()
     steal0, total0 = read_cpu_stat()
     # pin the JVM to exactly `cpus` physical cores: external load then
@@ -147,6 +192,8 @@ def run_once(job: str, cpus: int, n_urls: int,
     # median of during-run samples taken on cores outside the measured set
     rec["probe_sec"] = sampler.stop()
     rec["probe_n"] = len(sampler.samples)
+    rec["membw_gbps"] = sampler.membw()
+    rec["membw_before"] = membw_before
     return rec
 
 
@@ -212,6 +259,52 @@ def stats_for(history: list[dict], job: str, cpus: int, n_urls: int) -> dict | N
             "best": round(runs[-1], 1)}
 
 
+PAIR_PROBE_TOL = 0.08   # max relative probe_sec mismatch within a pair
+
+
+def paired_efficiency(history: list[dict], job: str, n_urls: int,
+                      low: int, high: int) -> dict | None:
+    """Probe-matched pair estimator for scaling efficiency.
+
+    Efficiency is a RATIO, so the host's absolute speed cancels whenever
+    the low- and high-parallelism runs executed at the SAME host speed —
+    which the during-run probe measures directly. The per-level median
+    tables gate each level against its own fastest probe, which can
+    leave the two levels gated at different host speeds (e.g. every c4
+    run taken in a fast window, every c16 run in a slow one) and bias
+    the ratio. Here: every (low, high) run pair whose during-run probe
+    medians agree within PAIR_PROBE_TOL and whose steal is under
+    STEAL_MAX yields one efficiency sample; the median over pairs is
+    robust to the hypervisor's schedule in a way no single-level gate
+    can be."""
+    def gated(cpus):
+        return [r for r in history
+                if r.get("job") == job and r["cpus"] == cpus
+                and r["n_urls"] == n_urls and r.get("pinned")
+                and r.get("wg") == WORKLOAD_REV and "probe_sec" in r
+                and r.get("steal_pct", 0.0) <= STEAL_MAX]
+
+    lows, highs = gated(low), gated(high)
+    effs = []
+    for lo in lows:
+        for hi in highs:
+            pmin = min(lo["probe_sec"], hi["probe_sec"])
+            if pmin <= 0:
+                continue
+            if abs(lo["probe_sec"] - hi["probe_sec"]) / pmin <= PAIR_PROBE_TOL:
+                effs.append(
+                    (hi["urls_per_sec"] / lo["urls_per_sec"]) / (high / low))
+    if not effs:
+        return None
+    effs.sort()
+    k = len(effs)
+    med = effs[k // 2] if k % 2 else (effs[k // 2 - 1] + effs[k // 2]) / 2
+    return {"n_pairs": k, "median": round(med, 3),
+            "iqr": (round(effs[k // 4], 3),
+                    round(effs[(3 * k) // 4 if (3 * k) // 4 < k else k - 1], 3)),
+            "best": round(effs[-1], 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-urls", type=int, default=None,
@@ -249,14 +342,25 @@ def main() -> None:
         eff = speedup / (args.high / args.low)
         best_speedup = hi["best"] / lo["best"]
         best_eff = best_speedup / (args.high / args.low)
+        paired = paired_efficiency(history, job, n, args.low, args.high)
         summary[job] = {
             "low_urls_per_sec": lo["median"],
             "high_urls_per_sec": hi["median"],
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
             "best_efficiency": round(best_eff, 3),
+            "paired_efficiency": paired,
             "low": lo, "high": hi,
         }
+        if paired:
+            paired_line = (
+                f"**Probe-matched paired efficiency (host speed cancels "
+                f"within each pair): median {paired['median']:.3f}** over "
+                f"{paired['n_pairs']} pairs (IQR "
+                f"{paired['iqr'][0]:.3f}\u2013{paired['iqr'][1]:.3f}, best "
+                f"{paired['best']:.3f})")
+        else:
+            paired_line = ""
         sections.append(f"""## {job} job — {JOB_LABEL[job]}
 
 Input: {n:,} synthetic URLs, Zipf(1)-skewed over 10,000 hosts; identical
@@ -271,6 +375,7 @@ disclosed).
 
 **Median speedup {args.low}→{args.high} cores (4× cores): {speedup:.2f}× —
 scaling efficiency {eff:.3f}** (best-vs-best: {best_speedup:.2f}×, {best_eff:.3f})
+{paired_line}
 """)
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -297,7 +402,10 @@ resource a real cluster shares, and executors bring their own storage.
 
 The **round job** — one full engine round: hybrid canonicalization
 (JVM-native fast path + exact pandas-UDF fallback) → first-occurrence
-dedup (map-side combining aggregate) → exact anti-join vs the URL-seen
+dedup (window strategy: one post-shuffle sort, the right physical shape
+for a unique-heavy input frontier; the engine's link-expansion dedup
+keeps the map-side combining aggregate where duplicates exist to
+collapse) → exact anti-join vs the URL-seen
 set → per-host politeness rank (adaptive hot-host salting) → fetch join
 vs the content store → Arrow mapInPandas extraction (X1–X8) — is the
 headline scaling number: extraction is the compute-dense stage that
@@ -317,14 +425,16 @@ history.json). With the box verified idle, the engine's stages measure:
 | stage | local[4] | local[16] | speedup | efficiency |
 |---|---|---|---|---|
 | Arrow mapInPandas extraction (X1–X8), 1M pages | 27,909 pages/s | 92,574 pages/s | 3.32× | **0.83** |
-| schedule core (canon→dedup→anti-join→rank), one clean pair | 178,078 urls/s | 487,138 urls/s* | 2.74× | 0.68 |
+| canon→dedup→anti-join core, 32M URLs, agg dedup | 111.6 s | 46.0 s | 2.43× | 0.61 |
+| canon→dedup→anti-join core, 32M URLs, window dedup (shipped) | 116.6 s | 34.4 s | 3.39× | **0.85** |
 
-\\* best recorded runs at each level (history.json). The compute-dense
+Strategy choice is itself a scaling decision on a DRAM-limited box: the
+agg's map-side sort collapses nothing on a unique-heavy frontier and
+burns a second memory pass that saturates bandwidth at 16 cores — the
+window shape trades ~4% at 4 cores for 25% at 16
+(scripts/exp_dedup_strategy.py, clean-probe runs). The compute-dense
 extraction stage — which dominates real crawl rounds at real page sizes
-— meets the ≥0.8 bar; the shuffle core is DRAM-bandwidth-bound on one
-shared-memory box, a limit a real cluster does not have because every
-added executor brings its own memory bus (the resource shape N→4N
-actually multiplies).
+— meets the ≥0.8 bar.
 """)
     print(json.dumps({"jobs": summary, "report": path}))
 
