@@ -151,11 +151,32 @@ class ProbeSampler:
         return round(s[len(s) // 2], 2)
 
 
+def wait_for_fast_host(max_probe: float, timeout_s: float = 1800.0,
+                       poll_s: float = 20.0) -> None:
+    """Block until two consecutive spin probes land under ``max_probe``
+    (the host is in a fast window) or the timeout passes — runs started
+    on a slowed host are excluded by the stats gates anyway, so waiting
+    is cheaper than measuring garbage."""
+    t0 = time.monotonic()
+    streak = 0
+    while time.monotonic() - t0 < timeout_s:
+        if cpu_probe() <= max_probe:
+            streak += 1
+            if streak >= 2:
+                return
+        else:
+            streak = 0
+        time.sleep(poll_s)
+
+
 def run_once(job: str, cpus: int, n_urls: int,
-             quiet_load: float | None = None) -> dict:
+             quiet_load: float | None = None,
+             max_probe: float | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     if quiet_load is not None:
         wait_for_quiet(quiet_load)
+    if max_probe is not None:
+        wait_for_fast_host(max_probe)
     load_before = os.getloadavg()[0]
     # ambient bandwidth before the run starts (own job not yet running):
     # co-tenant DRAM pressure that the spin probe cannot see. The
@@ -314,6 +335,8 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--jobs", default="round,schedule")
     ap.add_argument("--quiet-load", type=float, default=None)
+    ap.add_argument("--max-probe", type=float, default=None,
+                    help="wait for a fast-host window before each run")
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
@@ -322,7 +345,8 @@ def main() -> None:
         for job in jobs:
             n = args.n_urls or JOB_N_DEFAULT[job]
             for cpus in (args.low, args.high):
-                rec = run_once(job, cpus, n, quiet_load=args.quiet_load)
+                rec = run_once(job, cpus, n, quiet_load=args.quiet_load,
+                               max_probe=args.max_probe)
                 history.append(rec)
                 save_history(history)
                 print(f"round {i+1} {job}: local[{cpus}] "

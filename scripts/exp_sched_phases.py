@@ -35,7 +35,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=32_000_000)
     args = ap.parse_args()
 
-    from bench import SNAP_DIR, build_spark, force, settle, snapshot, synth_frontier
+    from bench import (DEDUP_STRATEGY, SNAP_DIR, build_spark, force, settle,
+                       snapshot, synth_frontier)
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
     from crawler_service_spark.operators.politeness import (
@@ -68,7 +69,7 @@ def main() -> None:
     wn = max(100_000, n // 40)
     wb = canonicalize_frame(synth_frontier(spark, wn, 10_000), "url").withColumn(
         "host", host_native(F.col("url")))
-    wb = first_occurrence(wb, ["canon_url"], ["discovery_seq"], keep_hash=True)
+    wb = first_occurrence(wb, ["canon_url"], ["discovery_seq"], keep_hash=True, strategy=DEDUP_STRATEGY)
     wb = snapshot(spark, anti_join_seen(wb, seen, ["canon_url"],
                                         shuffle_hash=True, hash_key=True),
                   "phase_warm")
@@ -88,7 +89,7 @@ def main() -> None:
     t0 = time.monotonic()
     b = canonicalize_frame(frontier, "url").withColumn(
         "host", host_native(F.col("url")))
-    b = first_occurrence(b, ["canon_url"], ["discovery_seq"], keep_hash=True)
+    b = first_occurrence(b, ["canon_url"], ["discovery_seq"], keep_hash=True, strategy=DEDUP_STRATEGY)
     path = f"{SNAP_DIR}/phase_round"
     anti_join_seen(b, seen, ["canon_url"], shuffle_hash=True, hash_key=True) \
         .write.mode("overwrite").parquet(path)
