@@ -171,7 +171,8 @@ def wait_for_fast_host(max_probe: float, timeout_s: float = 1800.0,
 
 def run_once(job: str, cpus: int, n_urls: int,
              quiet_load: float | None = None,
-             max_probe: float | None = None) -> dict:
+             max_probe: float | None = None,
+             job_reps: int = 1) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     if quiet_load is not None:
         wait_for_quiet(quiet_load)
@@ -195,7 +196,7 @@ def run_once(job: str, cpus: int, n_urls: int,
     pin = ["taskset", "-c", f"0-{cpus - 1}"]
     out = subprocess.run(
         pin + [sys.executable, os.path.join(REPO, "bench.py"), "--job", job,
-               "--n-urls", str(n_urls)],
+               "--n-urls", str(n_urls), "--reps", str(job_reps)],
         env=env, capture_output=True, text=True, check=True, cwd=REPO,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -337,6 +338,9 @@ def main() -> None:
     ap.add_argument("--quiet-load", type=float, default=None)
     ap.add_argument("--max-probe", type=float, default=None,
                     help="wait for a fast-host window before each run")
+    ap.add_argument("--job-reps", type=int, default=1,
+                    help="same-JVM repetitions inside each bench run; "
+                         "the run's sec is the fastest rep")
     args = ap.parse_args()
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
 
@@ -346,7 +350,8 @@ def main() -> None:
             n = args.n_urls or JOB_N_DEFAULT[job]
             for cpus in (args.low, args.high):
                 rec = run_once(job, cpus, n, quiet_load=args.quiet_load,
-                               max_probe=args.max_probe)
+                               max_probe=args.max_probe,
+                               job_reps=args.job_reps)
                 history.append(rec)
                 save_history(history)
                 print(f"round {i+1} {job}: local[{cpus}] "
