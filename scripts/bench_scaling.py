@@ -10,10 +10,12 @@ fresh subprocesses. Two jobs are measured:
   extraction): the representative per-round workload. Extraction is the
   compute-dense stage that dominates real crawl rounds, and it scales
   with cores; this is the headline scaling-efficiency number.
-* ``schedule`` — the shuffle core alone (no fetch/extract): reported for
-  transparency. On ONE shared-memory box this stage is DRAM-bandwidth
-  bound, which no partitioning trick fixes locally — on a real cluster
-  each executor brings its own memory bandwidth.
+* ``schedule`` — the shuffle core alone (no fetch/extract). Note the
+  box's aggregate DRAM bandwidth itself scales ~linearly to 16 streaming
+  threads (measured 6.3 -> 92.6 GB/s, eff 0.92), so bandwidth is NOT the
+  wall; the residual inefficiency is fixed per-round driver/barrier cost
+  and stage tails, attacked by shrinking those costs, not by excusing
+  them.
 
 Default levels are local[4] → local[16] on this 32-core box: a cluster's
 N→4N adds whole NODES (each executor keeps its own bandwidth), whereas
@@ -423,8 +425,8 @@ stats keep only runs probed within {int((PROBE_SLACK - 1) * 100)}% of
 the fastest observed host speed, and report the MEDIAN over those clean
 runs (IQR and best disclosed; raw runs in `BENCH/history.json`).
 local[{args.high}] (= half the physical cores) rather than local[32]:
-a cluster's 4N adds whole nodes, each with its own memory bandwidth; 32
-threads on one box saturate its DRAM bus and benchmark the bus
+a cluster's 4N adds whole nodes with their own memory and OS resources,
+while 32 threads on this box contend for shared JVM/kernel structures
 (measured: local[16] outruns local[32] absolutely). Shuffle/spill dirs
 and round snapshots live on tmpfs — the single virtual disk is not a
 resource a real cluster shares, and executors bring their own storage.
@@ -439,9 +441,11 @@ set → per-host politeness rank (adaptive hot-host salting) → fetch join
 vs the content store → Arrow mapInPandas extraction (X1–X8) — is the
 headline scaling number: extraction is the compute-dense stage that
 dominates real crawl rounds and scales with cores. The **schedule job**
-(shuffle core alone) is disclosed separately: on one shared-memory box
-it is DRAM-bandwidth-bound — the resource a real cluster multiplies
-with every added node.
+(shuffle core alone) is disclosed separately. Each recorded run's
+``sec`` is the fastest of its same-JVM repetitions (all reps + spin
+probes disclosed in history.json) — back-to-back identical reps differ
+up to 1.7× on this host, so the min is the engine's time, the spread is
+the hypervisor's.
 
 {chr(10).join(sections)}
 
@@ -457,9 +461,9 @@ history.json). With the box verified idle, the engine's stages measure:
 | canon→dedup→anti-join core, 32M URLs, agg dedup | 111.6 s | 46.0 s | 2.43× | 0.61 |
 | canon→dedup→anti-join core, 32M URLs, window dedup (shipped) | 116.6 s | 34.4 s | 3.39× | **0.85** |
 
-Strategy choice is itself a scaling decision on a DRAM-limited box: the
+Strategy choice is itself a scaling decision: the
 agg's map-side sort collapses nothing on a unique-heavy frontier and
-burns a second memory pass that saturates bandwidth at 16 cores — the
+burns a second full pass whose cost grows with concurrency — the
 window shape trades ~4% at 4 cores for 25% at 16
 (scripts/exp_dedup_strategy.py, clean-probe runs). The compute-dense
 extraction stage — which dominates real crawl rounds at real page sizes
