@@ -58,7 +58,7 @@ def build_spark(cpus: int, app: str) -> SparkSession:
     # identical work graph at both levels, differing only in how many
     # tasks execute concurrently
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(parts))
@@ -86,8 +86,16 @@ def build_spark(cpus: int, app: str) -> SparkSession:
         .config("spark.sql.parquet.compression.codec",
                 os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "lz4"))
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # GC experiments: the same total GC work runs inside a 4x shorter
+    # wall at the high level, so collector choice moves the scaling
+    # RATIO, not just the absolute times. Must be set before the JVM
+    # launches (getOrCreate), hence a builder conf, and only when asked
+    # for — an empty --conf value would trip spark-submit.
+    jopts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if jopts:
+        b = b.config("spark.driver.extraJavaOptions", jopts)
+    return b.getOrCreate()
 
 
 def force(df: DataFrame) -> None:
