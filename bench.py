@@ -120,6 +120,17 @@ SNAP_DIR = os.environ.get("SPARK_GRAFT_SNAP_DIR", "/dev/shm/spark_graft_bench")
 # keeps the "agg" default, where duplicates ARE collapsed map-side.
 DEDUP_STRATEGY = os.environ.get("SPARK_GRAFT_DEDUP_STRATEGY", "window")
 
+# round-snapshot layout: "bucketed" writes the snapshot BUCKETED BY
+# (host, _salt) and ranks with the exchange-free presalted rank
+# (rank_presalted). MEASURED WORSE on this box (8M rows, local[16],
+# clean probes): bucketed write 49.6 s vs flat 8.9 s (64 map tasks ×
+# 256 buckets = 16k parquet writers), presalted rank over the 16k-file
+# scan 22.4 s vs 7.4 s for adaptive-rank-over-flat — the exchange +
+# stats barrier the layout removes only cost ~7 s. Kept as an A/B path:
+# on a real cluster with an object store + Iceberg bin-packed bucketed
+# writes the trade can invert, but the single-box evidence says flat.
+SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "flat")
+
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Materialize a round snapshot as parquet on tmpfs and read it back —
@@ -133,6 +144,25 @@ def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     path = f"{SNAP_DIR}/{name}"
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def snapshot_bucketed(spark: SparkSession, df: DataFrame, name: str,
+                      buckets: int, cols: list[str]) -> DataFrame:
+    """Round snapshot written BUCKETED BY ``cols`` (parquet saveAsTable,
+    files on tmpfs) and read back as a bucketed scan: downstream
+    operators that need ClusteredDistribution on ``cols`` — the
+    presalted politeness rank's count aggregate and row_number window —
+    run with ZERO payload exchange. The write itself needs no shuffle
+    either (each map task buckets locally), so the rank's repartition
+    exchange is gone from the round, not merely moved into the write.
+    Cluster analog: the Iceberg frontier table bucketed on
+    (host-hash, seq-range)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (df.write.mode("overwrite").format("parquet")
+     .bucketBy(buckets, *cols)
+     .option("path", f"{SNAP_DIR}/{name}")
+     .saveAsTable(name))
+    return spark.table(name)
 
 
 def settle(spark: SparkSession) -> None:
@@ -214,7 +244,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     engine (BENCH/BASELINE.md documents this proxy choice)."""
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
-    from crawler_service_spark.operators.politeness import schedule_round
+    from crawler_service_spark.operators.politeness import presalt, schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
     # finer grain for the rank's window SORT stage only (identical at both
@@ -233,17 +263,31 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         # vs 34.4s(window) at c16, 111.6 vs 116.6 at c4 on the 32M core
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=DEDUP_STRATEGY)
-        # round snapshot: tmpfs parquet (see `snapshot`) — the schedule's
-        # hot/cold branches then re-read columnar parquet, not lineage
-        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
-                                           shuffle_hash=True, hash_key=True),
-                     "sched_round")
-        admitted, _ = schedule_round(
-            b, None, default_limit=10, default_window_s=60,
-            round_epoch=0.0, priority_col="depth",
-            shuffle_partitions=rank_parts,
-            salt_width=max(1 << 14, n_rows // 256),
-        )
+        b = anti_join_seen(b, seen_df, ["canon_url"],
+                           shuffle_hash=True, hash_key=True)
+        salt_width = max(1 << 14, n_rows // 256)
+        if SNAPSHOT_LAYOUT == "bucketed":
+            # snapshot layout IS the scheduling layout: written bucketed
+            # on (host, _salt), so the rank needs no exchange and no
+            # driver stats barrier (rank_presalted)
+            b = snapshot_bucketed(spark, presalt(b, salt_width),
+                                  "sched_round", rank_parts,
+                                  ["host", "_salt"])
+            admitted, _ = schedule_round(
+                b, None, default_limit=10, default_window_s=60,
+                round_epoch=0.0, priority_col="depth",
+                rank_strategy="presalted",
+            )
+        else:
+            # round snapshot: tmpfs parquet (see `snapshot`) — the
+            # schedule's branches then re-read columnar parquet
+            b = snapshot(spark, b, "sched_round")
+            admitted, _ = schedule_round(
+                b, None, default_limit=10, default_window_s=60,
+                round_epoch=0.0, priority_col="depth",
+                shuffle_partitions=rank_parts,
+                salt_width=salt_width,
+            )
         force(admitted)
         return b
 
@@ -293,7 +337,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
     from crawler_service_spark.operators.extract import extract_pages
-    from crawler_service_spark.operators.politeness import schedule_round
+    from crawler_service_spark.operators.politeness import presalt, schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
     rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
@@ -324,16 +368,25 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         )
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=DEDUP_STRATEGY)
-        # round snapshot: tmpfs parquet (see `snapshot`)
-        b = snapshot(spark, anti_join_seen(b, seen_df, ["canon_url"],
-                                           shuffle_hash=True, hash_key=True),
-                     "round_batch")
-        admitted, _ = schedule_round(
-            b, None, priority_col="depth", shuffle_partitions=rank_parts,
-            salt_width=max(1 << 14, n_rows // 256),
-        )
+        b = anti_join_seen(b, seen_df, ["canon_url"],
+                           shuffle_hash=True, hash_key=True)
+        salt_width = max(1 << 14, n_rows // 256)
+        if SNAPSHOT_LAYOUT == "bucketed":
+            b = snapshot_bucketed(spark, presalt(b, salt_width),
+                                  "round_batch", rank_parts,
+                                  ["host", "_salt"])
+            admitted, _ = schedule_round(
+                b, None, priority_col="depth", rank_strategy="presalted",
+            )
+        else:
+            # round snapshot: tmpfs parquet (see `snapshot`)
+            b = snapshot(spark, b, "round_batch")
+            admitted, _ = schedule_round(
+                b, None, priority_col="depth",
+                shuffle_partitions=rank_parts, salt_width=salt_width,
+            )
         fetched = (
-            admitted.join(store_df, "canon_url", "left")
+            admitted.drop("_salt").join(store_df, "canon_url", "left")
             .withColumn("is_error", F.col("html").isNull())
             # AQE coalesces by bytes; extraction cost is per row — keep
             # the Arrow stage at full parallelism (see engine.py)

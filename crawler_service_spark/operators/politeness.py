@@ -203,6 +203,81 @@ def skew_resistant_host_rank(
     )
 
 
+def presalt(b: DataFrame, salt_width: int) -> DataFrame:
+    """Materialize the rank salt as a layout column before snapshotting.
+
+    ``_salt = discovery_seq div salt_width`` — the same contiguous-range
+    salting ``skew_resistant_host_rank`` computes on the fly, but stored,
+    so the snapshot can be written BUCKETED BY (host, _salt) and the
+    politeness rank consumes the layout instead of re-shuffling
+    (`rank_presalted`). Cluster analog: the Iceberg frontier table is
+    bucketed on (host-hash, seq-range) — scheduling reads then never
+    exchange the payload."""
+    return b.withColumn(
+        "_salt",
+        F.floor(F.col("discovery_seq") / F.lit(int(salt_width))).cast("long"),
+    )
+
+
+def rank_presalted(b: DataFrame, priority_col: str) -> DataFrame:
+    """Per-host FIFO rank over a frame ALREADY carrying ``_salt`` and
+    (ideally) already hash-clustered by (host, _salt) — e.g. a snapshot
+    written ``bucketBy(n, "host", "_salt")``. Differences from
+    ``skew_resistant_host_rank``:
+
+    * EVERY host is salted (not just hot ones) — with the layout doing
+      the clustering there is no cost to salting cold hosts, and no
+      hot-host detection scan is needed at all;
+    * bucket offsets come from a window cumsum over the per-(host,_salt)
+      count frame (tiny: one short row per touched bucket) broadcast
+      back — NO driver collect, NO literal rebuild per round; the whole
+      rank is ONE query with a single tiny exchange;
+    * over a bucketed scan, neither the count aggregate nor the
+      row_number window exchanges the payload (HashPartitioning on the
+      bucket keys satisfies both clustered distributions).
+
+    PRECONDITION (same as the salted branch of
+    ``skew_resistant_host_rank``): ``priority_col`` constant per host —
+    checked cheaply on the tiny count frame, falling back would require
+    the caller's plain window, so this raises to make misuse loud.
+    """
+    counts = b.groupBy("host", "_salt").agg(
+        F.count("*").alias("_c"),
+        F.min(priority_col).alias("_pn"),
+        F.max(priority_col).alias("_px"),
+    )
+    w_off = Window.partitionBy("host").orderBy("_salt")
+    w_host = Window.partitionBy("host")
+    offsets = (
+        counts.withColumn(
+            "_off", F.sum("_c").over(w_off) - F.col("_c"))
+        # mixed = priority varies ANYWHERE within the host — across salt
+        # buckets included (constant-per-bucket but different-between-
+        # buckets is exactly the deferred-reentry shape that would
+        # misrank silently): host-level min(pn) != max(px)
+        .withColumn(
+            "_mixed",
+            (F.max("_px").over(w_host) != F.min("_pn").over(w_host))
+            .cast("int"))
+        .select("host", "_salt", "_off", "_mixed")
+    )
+    w_local = Window.partitionBy("host", "_salt").orderBy(
+        priority_col, "discovery_seq")
+    return (
+        b.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["host", "_salt"])
+        .withColumn(
+            "host_rank",
+            F.when(F.col("_mixed") == 1, F.raise_error(F.lit(
+                "rank_presalted: priority varies within a host; "
+                "contiguous-seq salting would misrank — use "
+                "skew_resistant_host_rank")))
+            .otherwise((F.col("_lrn") + F.col("_off")).cast("long")),
+        )
+        .select(*b.columns, "host_rank")
+    )
+
+
 def schedule_round(
     batch: DataFrame,
     policy: DataFrame | None,
@@ -215,6 +290,7 @@ def schedule_round(
     shuffle_partitions: int | None = None,
     skew_safe: bool = True,
     salt_width: int = 1 << 18,
+    rank_strategy: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """RL1: returns (admitted, deferred).
 
@@ -224,10 +300,23 @@ def schedule_round(
     re-enter the frontier unchanged. ``skew_safe`` picks the two-level
     rank (same result, no per-host serial task); the single-window
     variant remains for small batches and as the parity reference.
+
+    ``rank_strategy`` overrides the rank's physical shape:
+
+    * ``None`` — ``skew_safe`` picks adaptive (default) or plain window;
+    * ``"presalted"`` — the batch ALREADY carries ``_salt`` (see
+      :func:`presalt`) and, ideally, arrives hash-clustered on
+      ``(host, _salt)`` from a bucketed snapshot: the rank then runs with
+      no payload exchange and no driver stats barrier
+      (:func:`rank_presalted`). Requires ``priority_col`` constant per
+      host (raises otherwise) — valid for every non-deferral round,
+      where the whole frontier sits at one depth.
     """
     b = with_host_policy(batch, policy, default_limit, default_window_s)
 
-    if skew_safe:
+    if rank_strategy == "presalted":
+        b = rank_presalted(b, priority_col)
+    elif skew_safe:
         b = skew_resistant_host_rank(
             b, priority_col, shuffle_partitions or 32, salt_width=salt_width
         )

@@ -253,6 +253,31 @@ def q_rl1_budget_rank_salted(spark, sf_dir):
     )
 
 
+def q_rl1_budget_rank_presalted(spark, sf_dir):
+    """Same rank through the LAYOUT path: the batch carries a
+    materialized ``_salt`` column (presalt) and ranks with the
+    exchange-free offsets-join rank (rank_presalted) — the shape a
+    bucketed/Iceberg frontier snapshot enables. Identical oracle: all
+    three rank strategies must be row-identical."""
+    from crawler_service_spark.operators.politeness import presalt
+    ev = load(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 100).cast("string")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.col("event_id").alias("discovery_seq"),
+    )
+    sched, _ = schedule_round(
+        presalt(batch, 50), None, default_limit=10, default_window_s=60,
+        round_epoch=0.0, priority_col="priority", rank_strategy="presalted",
+    )
+    return sched.filter(F.col("host_rank") <= 30).select(
+        "host",
+        F.col("discovery_seq").alias("event_id"),
+        "host_rank",
+        F.round("virtual_fetch_time", 6).alias("virtual_fetch_time"),
+    )
+
+
 SQL_RL1 = """
     SELECT host, event_id, host_rank,
            round(CAST(floor((host_rank - 1) / 10) * 60 AS DOUBLE), 6) AS virtual_fetch_time
@@ -869,6 +894,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_first_occurrence_window": q_d2_first_occurrence_window,
     "rl1_budget_rank": q_rl1_budget_rank,
     "rl1_budget_rank_salted": q_rl1_budget_rank_salted,
+    "rl1_budget_rank_presalted": q_rl1_budget_rank_presalted,
     "rl1_wait_time": q_rl1_wait_time,
     "j2_policy_join": q_j2_policy_join,
     "r1_error_classify": q_r1_error_classify,
@@ -908,6 +934,7 @@ ORACLE_SQL: dict[str, str] = {
     "d2_first_occurrence_window": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
     "rl1_budget_rank_salted": SQL_RL1,
+    "rl1_budget_rank_presalted": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,
     "j2_policy_join": SQL_J2,
     "r1_error_classify": SQL_R1,

@@ -28,7 +28,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=32_000_000)
     args = ap.parse_args()
 
-    from bench import SNAP_DIR, build_spark, force, settle, synth_frontier
+    from bench import (DEDUP_STRATEGY, SNAP_DIR, build_spark, force, settle,
+                       synth_frontier)
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
     from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
 
@@ -59,7 +60,7 @@ def main() -> None:
     wn = max(100_000, n // 40)
     wsrc = synth_frontier(spark, wn, 10_000)
     wb = first_occurrence(canon(wsrc), ["canon_url"], ["discovery_seq"],
-                          keep_hash=True)
+                          keep_hash=True, strategy=DEDUP_STRATEGY)
     anti_join_seen(wb, seen, ["canon_url"], shuffle_hash=True, hash_key=True) \
         .write.mode("overwrite").parquet(f"{SNAP_DIR}/p1_warm")
     settle(spark)
@@ -82,16 +83,16 @@ def main() -> None:
     timed("b_canon", lambda: force(canon(frontier)))
     timed("c_canon_dedup", lambda: force(
         first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
-                         keep_hash=True)))
+                         keep_hash=True, strategy=DEDUP_STRATEGY)))
     timed("d_canon_dedup_anti", lambda: force(
         anti_join_seen(
             first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
-                             keep_hash=True),
+                             keep_hash=True, strategy=DEDUP_STRATEGY),
             seen, ["canon_url"], shuffle_hash=True, hash_key=True)))
     timed("e_full_write", lambda:
         anti_join_seen(
             first_occurrence(canon(frontier), ["canon_url"], ["discovery_seq"],
-                             keep_hash=True),
+                             keep_hash=True, strategy=DEDUP_STRATEGY),
             seen, ["canon_url"], shuffle_hash=True, hash_key=True)
         .write.mode("overwrite").parquet(f"{SNAP_DIR}/p1_full"))
 

@@ -9,7 +9,11 @@ guard), and the budget-deferral split built on top of the ranks.
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+import pytest
+
 from crawler_service_spark.operators.politeness import (
+    presalt,
+    rank_presalted,
     schedule_round,
     skew_resistant_host_rank,
 )
@@ -57,3 +61,92 @@ def test_schedule_round_salted_vs_unsalted_budget_split(spark):
             == {tuple(r) for r in adm_p.select(cols).collect()})
     assert ({tuple(r) for r in def_s.select("host", "discovery_seq").collect()}
             == {tuple(r) for r in def_p.select("host", "discovery_seq").collect()})
+
+def _const_priority_batch(spark, n=20_000):
+    """Hot host + cold ring, priority constant per host (the presalted
+    precondition) — every host at depth 0 except one cold host at 1."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, "hot.example.com")
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 11).cast("string"),
+                     F.lit(".example.com"))
+        ).alias("host"),
+        F.when((F.col("id") % 3 != 0) & (F.col("id") % 11 == 5), 1)
+        .otherwise(0).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+
+
+def test_presalted_rank_equals_plain_window(spark):
+    b = _const_priority_batch(spark)
+    ranked = rank_presalted(presalt(b, 1000), "depth")
+    w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+    ref = b.withColumn("host_rank", F.row_number().over(w).cast("long"))
+    got = {tuple(r) for r in ranked.drop("_salt").collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want
+
+
+def test_presalted_rank_raises_on_mixed_priority(spark):
+    b = _mixed_batch(spark)  # mixed.example.com varies depth within host
+    with pytest.raises(Exception, match="priority varies"):
+        rank_presalted(presalt(b, 1000), "depth").collect()
+
+
+def test_schedule_round_presalted_matches_plain(spark):
+    b = _const_priority_batch(spark)
+    cols = ["host", "discovery_seq", "host_rank", "virtual_fetch_time"]
+    adm_s, def_s = schedule_round(
+        presalt(b, 1000), None, default_limit=5, budget_rounds=2,
+        rank_strategy="presalted")
+    adm_p, def_p = schedule_round(
+        b, None, default_limit=5, budget_rounds=2,
+        shuffle_partitions=8, salt_width=10 ** 9)  # nothing hot → plain
+    assert ({tuple(r) for r in adm_s.select(cols).collect()}
+            == {tuple(r) for r in adm_p.select(cols).collect()})
+    assert ({tuple(r) for r in def_s.select("host", "discovery_seq").collect()}
+            == {tuple(r) for r in def_p.select("host", "discovery_seq").collect()})
+
+
+def test_presalted_rank_over_bucketed_snapshot_no_exchange(spark, tmp_path):
+    """The layout contract: over a snapshot written BUCKETED BY
+    (host, _salt), the presalted rank's physical plan contains NO
+    payload exchange — bucketing satisfies both the window's and the
+    count aggregate's clustering (the offsets exchange is the tiny
+    per-bucket count frame, behind the broadcast)."""
+    b = presalt(_const_priority_batch(spark), 1000)
+    spark.sql("DROP TABLE IF EXISTS t_presalt_snap")
+    (b.write.mode("overwrite").format("parquet")
+     .bucketBy(8, "host", "_salt")
+     .option("path", str(tmp_path / "t_presalt_snap"))
+     .saveAsTable("t_presalt_snap"))
+    snap = spark.table("t_presalt_snap")
+    ranked = rank_presalted(snap, "depth")
+    # parity first
+    w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+    want = {tuple(r) for r in
+            b.withColumn("host_rank", F.row_number().over(w).cast("long"))
+            .drop("_salt").collect()}
+    got = {tuple(r) for r in ranked.drop("_salt").collect()}
+    assert got == want
+    # plan: the only exchanges allowed feed the tiny offsets branch
+    # (count frame + its window); the payload side must scan → window
+    # with no Exchange in between
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    payload = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in payload, payload
+    spark.sql("DROP TABLE IF EXISTS t_presalt_snap")
+
+
+def test_presalted_rank_raises_on_cross_bucket_priority(spark):
+    """Priority constant within every salt bucket but different across
+    buckets of one host (the deferred-reentry shape) must ALSO raise —
+    contiguous-seq salting would silently rank the earlier-seq bucket
+    first even though the later bucket has higher priority."""
+    b = spark.range(4000).select(
+        F.lit("x.example.com").alias("host"),
+        F.when(F.col("id") < 2000, 1).otherwise(0).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    with pytest.raises(Exception, match="priority varies"):
+        rank_presalted(presalt(b, 1000), "depth").collect()
