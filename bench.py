@@ -85,6 +85,11 @@ def build_spark(cpus: int, app: str) -> SparkSession:
         # feature here, not just a size one
         .config("spark.sql.parquet.compression.codec",
                 os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "lz4"))
+        # bucket-sorted snapshots are written with exactly one file per
+        # bucket (pre-repartitioned on the bucket key), so the scan can
+        # expose the per-bucket sort order and the politeness rank's
+        # window runs sort-free (see snapshot_bucket_sorted)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
     # GC experiments: the same total GC work runs inside a 4x shorter
@@ -95,6 +100,12 @@ def build_spark(cpus: int, app: str) -> SparkSession:
     jopts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if jopts:
         b = b.config("spark.driver.extraJavaOptions", jopts)
+    # ad-hoc conf overrides for A/B experiments (event logs, AQE on/off,
+    # codegen...): "k=v;k2=v2" — experiments only, never load-bearing
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
 
 
@@ -120,15 +131,21 @@ SNAP_DIR = os.environ.get("SPARK_GRAFT_SNAP_DIR", "/dev/shm/spark_graft_bench")
 # keeps the "agg" default, where duplicates ARE collapsed map-side.
 DEDUP_STRATEGY = os.environ.get("SPARK_GRAFT_DEDUP_STRATEGY", "window")
 
-# round-snapshot layout: "bucketed" writes the snapshot BUCKETED BY
-# (host, _salt) and ranks with the exchange-free presalted rank
-# (rank_presalted). MEASURED WORSE on this box (8M rows, local[16],
-# clean probes): bucketed write 49.6 s vs flat 8.9 s (64 map tasks ×
-# 256 buckets = 16k parquet writers), presalted rank over the 16k-file
-# scan 22.4 s vs 7.4 s for adaptive-rank-over-flat — the exchange +
-# stats barrier the layout removes only cost ~7 s. Kept as an A/B path:
-# on a real cluster with an object store + Iceberg bin-packed bucketed
-# writes the trade can invert, but the single-box evidence says flat.
+# round-snapshot layout:
+#  * "flat"       — plain parquet; the rank then exchanges + sorts.
+#  * "bucketed"   — BUCKETED BY (host, _salt), NO pre-shuffle: MEASURED
+#    WORSE (8M rows, local[16], clean probes): write 49.6 s vs flat
+#    8.9 s (64 map tasks × 256 buckets = 16k parquet writers), rank over
+#    the 16k-file scan 22.4 s vs 7.4 s adaptive-over-flat.
+#  * "bucketsort" — repartition(n, host, _salt) THEN bucketBy(n).sortBy
+#    (host, _salt, priority, seq): the same single payload exchange the
+#    rank used to do, moved BEFORE the write, yielding exactly ONE file
+#    per bucket (repartition and bucketBy share the Murmur3 pmod);
+#    the read-back scan then satisfies the rank's clustering AND
+#    ordering (legacy.bucketedTableScan.outputOrdering + single file per
+#    bucket), so rank_presalted runs with ZERO payload exchange, ZERO
+#    sort, and no driver stats barrier. Cluster analog: the Iceberg
+#    frontier snapshot bucket-sorted on (host-hash, seq-range).
 SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "flat")
 
 
@@ -160,6 +177,28 @@ def snapshot_bucketed(spark: SparkSession, df: DataFrame, name: str,
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (df.write.mode("overwrite").format("parquet")
      .bucketBy(buckets, *cols)
+     .option("path", f"{SNAP_DIR}/{name}")
+     .saveAsTable(name))
+    return spark.table(name)
+
+
+def snapshot_bucket_sorted(spark: SparkSession, df: DataFrame, name: str,
+                           buckets: int, cols: list[str],
+                           sort_cols: list[str]) -> DataFrame:
+    """Round snapshot whose LAYOUT does the rank's work: one payload
+    exchange (repartition on the bucket key — the very exchange the rank
+    would otherwise run after the read) feeds a bucketBy+sortBy write
+    producing exactly one file per bucket (repartition and bucketing
+    share Murmur3 pmod, so each task holds one bucket). The read-back
+    scan then reports HashPartitioning(cols) AND per-bucket sort order,
+    so rank_presalted plans with no exchange, no sort, and no driver
+    stats barrier. The in-bucket sort rides the write's spill-free
+    local sort instead of a separate post-read stage."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (df.repartition(buckets, *[F.col(c) for c in cols])
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(buckets, *cols)
+     .sortBy(*sort_cols)
      .option("path", f"{SNAP_DIR}/{name}")
      .saveAsTable(name))
     return spark.table(name)
@@ -266,13 +305,21 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
         salt_width = max(1 << 14, n_rows // 256)
-        if SNAPSHOT_LAYOUT == "bucketed":
+        if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
             # snapshot layout IS the scheduling layout: written bucketed
             # on (host, _salt), so the rank needs no exchange and no
-            # driver stats barrier (rank_presalted)
-            b = snapshot_bucketed(spark, presalt(b, salt_width),
-                                  "sched_round", rank_parts,
-                                  ["host", "_salt"])
+            # driver stats barrier (rank_presalted); "bucketsort" also
+            # pre-repartitions and sorts in-bucket so the rank is
+            # additionally sort-free over one file per bucket
+            if SNAPSHOT_LAYOUT == "bucketsort":
+                b = snapshot_bucket_sorted(
+                    spark, presalt(b, salt_width), "sched_round",
+                    rank_parts, ["host", "_salt"],
+                    ["host", "_salt", "depth", "discovery_seq"])
+            else:
+                b = snapshot_bucketed(spark, presalt(b, salt_width),
+                                      "sched_round", rank_parts,
+                                      ["host", "_salt"])
             admitted, _ = schedule_round(
                 b, None, default_limit=10, default_window_s=60,
                 round_epoch=0.0, priority_col="depth",
@@ -371,10 +418,16 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
         salt_width = max(1 << 14, n_rows // 256)
-        if SNAPSHOT_LAYOUT == "bucketed":
-            b = snapshot_bucketed(spark, presalt(b, salt_width),
-                                  "round_batch", rank_parts,
-                                  ["host", "_salt"])
+        if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
+            if SNAPSHOT_LAYOUT == "bucketsort":
+                b = snapshot_bucket_sorted(
+                    spark, presalt(b, salt_width), "round_batch",
+                    rank_parts, ["host", "_salt"],
+                    ["host", "_salt", "depth", "discovery_seq"])
+            else:
+                b = snapshot_bucketed(spark, presalt(b, salt_width),
+                                      "round_batch", rank_parts,
+                                      ["host", "_salt"])
             admitted, _ = schedule_round(
                 b, None, priority_col="depth", rank_strategy="presalted",
             )
@@ -386,11 +439,19 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                 shuffle_partitions=rank_parts, salt_width=salt_width,
             )
         fetched = (
-            admitted.drop("_salt").join(store_df, "canon_url", "left")
+            # pre-align the (html-free) admitted side with the store's
+            # hash partitioning: the join output then inherits `parts`
+            # uniform partitions (canon_url hashes uniformly) and the
+            # Arrow extraction fuses into the join stage — the previous
+            # post-join round-robin repartition pushed every html-bearing
+            # row through a second full exchange (measured 9-13% of the
+            # fetch+extract phase at c16, scripts/exp_fetch_join.py).
+            # The explicit partition count also pins the stage against
+            # AQE byte-based coalescing (extraction cost is per ROW).
+            admitted.drop("_salt")
+            .repartition(parts, F.col("canon_url"))
+            .join(store_df, "canon_url", "left")
             .withColumn("is_error", F.col("html").isNull())
-            # AQE coalesces by bytes; extraction cost is per row — keep
-            # the Arrow stage at full parallelism (see engine.py)
-            .repartition(parts)
         )
         pages = extract_pages(fetched, cfg)
         force(pages.select("canon_url", "title", "text_content", "links", "spans"))

@@ -230,14 +230,21 @@ class CrawlEngine:
                 shuffle_partitions=cfg.shuffle_partitions,
             )
 
-            fetched = admitted.join(self.store, "canon_url", "left")
+            # pre-align the (html-free) admitted side with the store's
+            # hash partitioning: the join output inherits
+            # `shuffle_partitions` uniform hash partitions (canon_url
+            # hashes uniformly) and the Arrow extraction fuses into the
+            # join stage — a post-join repartition would push every
+            # html-bearing row through a second full exchange (measured
+            # 9-13% of the fetch+extract phase, scripts/exp_fetch_join.py).
+            # The explicit partition count also pins the stage against AQE
+            # byte-based coalescing: extraction cost is per ROW (Python
+            # parse per page) — byte-coalescing once shrank this stage to
+            # ~5 tasks and capped the whole round at ~5 cores.
+            fetched = admitted.repartition(
+                cfg.shuffle_partitions, F.col("canon_url")
+            ).join(self.store, "canon_url", "left")
             fetched = resolve_fetch_outcome(fetched, cfg)
-            # explicit repartition before the Arrow extraction stage: AQE
-            # coalesces post-shuffle partitions by BYTES, but extraction
-            # cost is per ROW (Python parse per page) — on measured runs
-            # AQE shrank this stage to ~5 tasks and capped the whole round
-            # at ~5 cores regardless of cluster size
-            fetched = fetched.repartition(cfg.shuffle_partitions)
             pages = extract_pages(fetched, cfg).withColumn("round", F.lit(rnd))
             pages = pages.drop("html", "status_code", "fail_times")
 

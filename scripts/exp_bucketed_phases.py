@@ -63,20 +63,22 @@ def main() -> None:
         dt = time.monotonic() - t0
         print(f"{label}: {dt:.2f}s (probe {p0:.3f}/{bench.cpu_probe():.3f})")
 
+    sort_cols = ["host", "_salt", "depth", "discovery_seq"]
+
     # warmup both paths once at 1/20 scale
     w = b.limit(args.n // 20)
     bench.snapshot(spark, w, "exp_flat_w")
-    bench.snapshot_bucketed(spark, presalt(w, salt_width), "exp_b_w",
-                            rank_parts, ["host", "_salt"])
+    bench.snapshot_bucket_sorted(spark, presalt(w, salt_width), "exp_bs_w",
+                                 rank_parts, ["host", "_salt"], sort_cols)
 
     for rep in range(2):
         timed("write_flat", lambda: bench.snapshot(spark, b, "exp_flat"))
-        timed("write_bucketed",
-              lambda: bench.snapshot_bucketed(
-                  spark, presalt(b, salt_width), "exp_bucket",
-                  rank_parts, ["host", "_salt"]))
+        timed("write_bucketsort",
+              lambda: bench.snapshot_bucket_sorted(
+                  spark, presalt(b, salt_width), "exp_bsort",
+                  rank_parts, ["host", "_salt"], sort_cols))
         flat = spark.read.parquet(f"{bench.SNAP_DIR}/exp_flat")
-        bt = spark.table("exp_bucket")
+        bs = spark.table("exp_bsort")
 
         def rank_flat():
             adm, _ = schedule_round(
@@ -84,13 +86,13 @@ def main() -> None:
                 shuffle_partitions=rank_parts, salt_width=salt_width)
             bench.force(adm)
 
-        def rank_presalted_run():
+        def rank_presalted_sorted():
             adm, _ = schedule_round(
-                bt, None, priority_col="depth", rank_strategy="presalted")
+                bs, None, priority_col="depth", rank_strategy="presalted")
             bench.force(adm)
 
         timed("rank_adaptive_over_flat", rank_flat)
-        timed("rank_presalted_over_bucketed", rank_presalted_run)
+        timed("rank_presalted_over_bucketsort", rank_presalted_sorted)
     spark.stop()
 
 
