@@ -146,7 +146,10 @@ DEDUP_STRATEGY = os.environ.get("SPARK_GRAFT_DEDUP_STRATEGY", "window")
 #    bucket), so rank_presalted runs with ZERO payload exchange, ZERO
 #    sort, and no driver stats barrier. Cluster analog: the Iceberg
 #    frontier snapshot bucket-sorted on (host-hash, seq-range).
-SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "flat")
+#    SHIPPED DEFAULT — clean-pair schedule job moved from eff ~0.59
+#    (flat) to 0.80: the layout turns the rank's exchange+sort+stats
+#    barrier into write-side work that scales with cores.
+SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "bucketsort")
 
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -227,8 +230,15 @@ def synth_frontier(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
     — a few hot hosts dominate, per the BASELINE.json metric. URLs carry
     the dirty-variant cycle exercised by the canonicalizer (ports, case,
     trailing slash, unsorted query).
+
+    Partition count is pinned to SPARK_GRAFT_SHUFFLE_PARTS (not
+    defaultParallelism): the scaling comparison needs the IDENTICAL
+    input layout at every parallelism level — spark.range's default
+    ties partitions to the core count, which handed c4 coarse 8-way
+    scans and c16 32-way ones.
     """
-    df = spark.range(n).withColumn(
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    df = spark.range(0, n, 1, parts).withColumn(
         "u", (F.pmod(F.xxhash64("id"), F.lit(1 << 20))) / F.lit(float(1 << 20))
     )
     host_id = F.floor(F.pow(F.lit(float(n_hosts)), F.col("u"))).cast("long")
