@@ -85,6 +85,19 @@ class CrawlConfig:
                                           # filter (scale path); 0: legacy
                                           # driver bitmap
 
+    # frontier snapshot layout (north-rule scale path): "bucketsort"
+    # writes each frontier snapshot hash-clustered AND in-bucket-sorted
+    # on (host, _salt = discovery_seq div frontier_salt_width), exactly
+    # one file per bucket — the next round's politeness rank then plans
+    # with no payload exchange, no sort, and no driver stats barrier
+    # (operators/politeness.rank_presalted). "flat" = plain parquet +
+    # adaptive hot-host rank. Deferral runs (budget_rounds set) always
+    # take the flat path: a deferred frontier mixes depths within a
+    # host, and contiguous-seq salting would misrank (rank_presalted
+    # raises on that shape by design). Result-identical either way.
+    frontier_layout: str = "bucketsort"
+    frontier_salt_width: int = 1 << 18
+
     # virtual-clock origin for deterministic scheduling timestamps
     round_epoch: float = 0.0
 

@@ -55,7 +55,7 @@ from crawler_service_spark.operators.links import (
     filter_internal,
     filter_robots,
 )
-from crawler_service_spark.operators.politeness import schedule_round
+from crawler_service_spark.operators.politeness import presalt, schedule_round
 from crawler_service_spark.operators.sequence import assign_dense_seq
 from crawler_service_spark.sources.storage import SnapshotStore
 
@@ -85,6 +85,14 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.policy = policy
+        if (cfg.frontier_layout == "bucketsort"
+                and cfg.budget_rounds is None):
+            # let bucketed scans expose their per-bucket sort order (the
+            # engine writes exactly one file per bucket, the shape Spark
+            # requires to honor it) — without this the politeness rank
+            # re-sorts data the snapshot layout already sorted
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         self.storage = SnapshotStore(checkpoint_dir)
         self.use_bloom = use_bloom
         self.max_rounds = max_rounds
@@ -136,6 +144,38 @@ class CrawlEngine:
         ).drop("seed_seq")
         return f.select(FRONTIER_COLS)
 
+    # ------------------------------------------------------ frontier layout
+    @property
+    def _use_layout(self) -> bool:
+        # bucket-sorted frontier snapshots are valid whenever priority
+        # (depth) is constant per host in every round — true exactly when
+        # no deferral carries older-depth rows into later frontiers
+        return (
+            self.cfg.frontier_layout == "bucketsort"
+            and self.cfg.budget_rounds is None
+        )
+
+    _FRONTIER_SORT = ["host", "_salt", "depth", "discovery_seq"]
+
+    def _write_frontier(self, df: DataFrame, rnd: int) -> None:
+        if self._use_layout:
+            self.storage.write_table_bucketed(
+                presalt(df, self.cfg.frontier_salt_width), "frontier", rnd,
+                self.cfg.shuffle_partitions, ["host", "_salt"],
+                self._FRONTIER_SORT,
+            )
+        else:
+            self.storage.write_table(df, "frontier", rnd)
+
+    def _read_frontier(self, rnd: int) -> DataFrame:
+        if self._use_layout:
+            return self.storage.read_table_bucketed(
+                self.spark, "frontier", rnd,
+                self.cfg.shuffle_partitions, ["host", "_salt"],
+                self._FRONTIER_SORT,
+            )
+        return self.storage.read_table(self.spark, "frontier", rnd)
+
     # ----------------------------------------------------------------- crawl
     def crawl(self, seeds: DataFrame | None = None, resume: bool = False) -> CrawlTables:
         cfg = self.cfg
@@ -172,7 +212,7 @@ class CrawlEngine:
                     round_counters=[],
                 )
             rnd = latest + 1
-            frontier = self.storage.read_table(self.spark, "frontier", rnd)
+            frontier = self._read_frontier(rnd)
             if bloom is not None and seen_rounds:
                 bloom.fit(
                     self._read_seen(seen_rounds).select(self._seen_key().alias("k")),
@@ -183,8 +223,8 @@ class CrawlEngine:
                 raise ValueError("seeds required when not resuming")
             rnd = 0
             seen_rounds = []
-            self.storage.write_table(self._initial_frontier(seeds), "frontier", 0)
-            frontier = self.storage.read_table(self.spark, "frontier", 0)
+            self._write_frontier(self._initial_frontier(seeds), 0)
+            frontier = self._read_frontier(0)
 
         deferral = cfg.budget_rounds is not None
         # running count of the seen union, used only to pick the seen
@@ -228,7 +268,11 @@ class CrawlEngine:
                 budget_rounds=cfg.budget_rounds,
                 priority_col="depth",
                 shuffle_partitions=cfg.shuffle_partitions,
+                # over a bucket-sorted frontier snapshot the rank plans
+                # with no payload exchange/sort/driver barrier
+                rank_strategy="presalted" if self._use_layout else None,
             )
+            admitted = admitted.drop("_salt")
 
             # pre-align the (html-free) admitted side with the store's
             # hash partitioning: the join output inherits
@@ -348,7 +392,7 @@ class CrawlEngine:
                 next_frontier = frontier_parts[0]
                 for part in frontier_parts[1:]:
                     next_frontier = next_frontier.unionByName(part)
-                self.storage.write_table(next_frontier, "frontier", rnd + 1)
+                self._write_frontier(next_frontier, rnd + 1)
                 wrote_frontier = True
 
             round_counters = {
@@ -366,7 +410,7 @@ class CrawlEngine:
             prev_base = seq_base
             if not wrote_frontier:
                 break
-            frontier = self.storage.read_table(self.spark, "frontier", rnd + 1)
+            frontier = self._read_frontier(rnd + 1)
             rnd += 1
 
         latest = self.storage.latest_round()

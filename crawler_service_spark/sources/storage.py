@@ -21,11 +21,13 @@ ordering is by explicit sort keys, never file order).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -60,6 +62,63 @@ class SnapshotStore:
 
     def read_table(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
         return spark.read.parquet(self._table_path(table, rnd))
+
+    # -- bucketed snapshots (frontier layout) --------------------------------
+    def _bucket_table_name(self, table: str, rnd: int) -> str:
+        # catalog entry per (store root, table, round): the md5 prefix
+        # keeps concurrent engines over different checkpoint dirs from
+        # colliding in the shared session catalog
+        h = hashlib.md5(str(self.root).encode()).hexdigest()[:8]
+        return f"snap_{h}_{table}_{rnd:06d}"
+
+    def write_table_bucketed(
+        self, df: DataFrame, table: str, rnd: int,
+        buckets: int, cols: list[str], sort_cols: list[str],
+    ) -> str:
+        """Snapshot whose LAYOUT carries the next round's scheduling
+        work: one payload exchange (repartition on the bucket key) feeds
+        a bucketBy+sortBy write producing exactly one file per bucket
+        (repartition and bucketing share the Murmur3 pmod), so the
+        read-back scan reports HashPartitioning(cols) AND per-bucket
+        sort order — downstream windows/aggregates on those keys plan
+        exchange-free and sort-free. Files land under the same
+        round-partitioned path as flat snapshots; a plain
+        ``read_table`` of the path still works (minus the layout
+        metadata). Cluster analog: an Iceberg frontier table
+        bucket-sorted on (host-hash, seq-range)."""
+        spark = df.sparkSession
+        name = self._bucket_table_name(table, rnd)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.repartition(buckets, *[F.col(c) for c in cols])
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(buckets, *cols)
+         .sortBy(*sort_cols)
+         .option("path", self._table_path(table, rnd))
+         .saveAsTable(name))
+        return self._table_path(table, rnd)
+
+    def read_table_bucketed(
+        self, spark: SparkSession, table: str, rnd: int,
+        buckets: int, cols: list[str], sort_cols: list[str],
+    ) -> DataFrame:
+        """Bucketed-scan read of a snapshot written by
+        ``write_table_bucketed``. On resume in a fresh session the
+        catalog entry is gone while the files remain — re-register the
+        external table over them (schema from the parquet footers) so
+        the layout metadata survives restarts, like an Iceberg table's
+        spec does."""
+        name = self._bucket_table_name(table, rnd)
+        if not spark.catalog.tableExists(name):
+            schema = spark.read.parquet(
+                self._table_path(table, rnd)).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {name} ({schema}) USING parquet "
+                f"CLUSTERED BY ({', '.join(cols)}) "
+                f"SORTED BY ({', '.join(sort_cols)}) "
+                f"INTO {buckets} BUCKETS "
+                f"LOCATION '{self._table_path(table, rnd)}'"
+            )
+        return spark.table(name)
 
     def commit_round(self, rnd: int, tables: list[str], counters: dict) -> None:
         """Atomic-enough commit: manifest written last, via rename."""
