@@ -438,16 +438,23 @@ The **round job** — one full engine round: hybrid canonicalization
 dedup (window strategy: one post-shuffle sort, the right physical shape
 for a unique-heavy input frontier; the engine's link-expansion dedup
 keeps the map-side combining aggregate where duplicates exist to
-collapse) → exact anti-join vs the URL-seen
-set → per-host politeness rank (adaptive hot-host salting) → fetch join
-vs the content store → Arrow mapInPandas extraction (X1–X8) — is the
-headline scaling number: extraction is the compute-dense stage that
-dominates real crawl rounds and scales with cores. The **schedule job**
-(shuffle core alone) is disclosed separately. Each recorded run's
+collapse) → exact anti-join vs the URL-seen set → **bucket-sorted round
+snapshot** (repartition on (host, seq-salt) feeding a bucketBy+sortBy
+write, one file per bucket — the rank's exchange+sort moved into
+write-side work that scales) → presalted politeness rank (zero payload
+exchange, zero sort, no driver stats barrier over the layout-bearing
+scan) → fetch join vs the content store with the html-free admitted
+side pre-aligned to the store's hash partitioning (extraction fuses
+into the join stage; no post-join exchange of page bytes) → Arrow
+mapInPandas extraction (X1–X8). This is the headline scaling number:
+extraction is the compute-dense stage that dominates real crawl rounds
+and scales with cores. The **schedule job** (shuffle core + snapshot +
+rank, no fetch/extract) is disclosed separately. Each recorded run's
 ``sec`` is the fastest of its same-JVM repetitions (all reps + spin
 probes disclosed in history.json) — back-to-back identical reps differ
 up to 1.7× on this host, so the min is the engine's time, the spread is
-the hypervisor's.
+the hypervisor's. The input frontier's partition count is pinned
+(64) so every level scans the identical layout.
 
 {chr(10).join(sections)}
 
@@ -462,14 +469,36 @@ history.json). With the box verified idle, the engine's stages measure:
 | Arrow mapInPandas extraction (X1–X8), 1M pages | 27,909 pages/s | 92,574 pages/s | 3.32× | **0.83** |
 | canon→dedup→anti-join core, 32M URLs, agg dedup | 111.6 s | 46.0 s | 2.43× | 0.61 |
 | canon→dedup→anti-join core, 32M URLs, window dedup (shipped) | 116.6 s | 34.4 s | 3.39× | **0.85** |
+| core→bucket-sorted snapshot (round job p1), 6M URLs, warm | 26.4 s | 8.0 s | 3.32× | **0.83** |
 
-Strategy choice is itself a scaling decision: the
-agg's map-side sort collapses nothing on a unique-heavy frontier and
-burns a second full pass whose cost grows with concurrency — the
-window shape trades ~4% at 4 cores for 25% at 16
-(scripts/exp_dedup_strategy.py, clean-probe runs). The compute-dense
-extraction stage — which dominates real crawl rounds at real page sizes
-— meets the ≥0.8 bar.
+Three physical-shape decisions moved the end-to-end jobs from
+eff ≈0.5–0.6 (round 1) to ≥0.8, each measured with in-JVM alternating
+A/Bs (host drift cancels pair-wise):
+
+1. **Window-strategy dedup** for the unique-heavy frontier: the agg's
+   map-side sort collapses nothing there and burns a second full pass
+   whose cost grows with concurrency — trades ~4% at 4 cores for 25%
+   at 16 (scripts/exp_dedup_strategy.py).
+2. **Bucket-sorted round snapshot + presalted rank**: the adaptive
+   rank over a flat snapshot measured FLAT across cores (9.6 s at c4 →
+   9.2 s at c16 on 5.3M rows — driver stats collect, exchange and sort
+   are fixed-ish latency). Writing the snapshot repartitioned on
+   (host, seq-salt) with bucketBy+sortBy (one file per bucket) makes
+   the rank exchange-free and sort-free; the moved work rides the
+   write, which scales (scripts/exp_bucketed_phases.py,
+   exp_round_phases.py).
+3. **Pre-join alignment of the fetch join**: repartitioning the
+   html-free admitted side on canon_url before joining the
+   pre-partitioned store (instead of round-robin repartitioning the
+   joined html-bearing rows) removes a full exchange of page bytes —
+   9–13% of the fetch+extract phase at c16, neutral at c4
+   (scripts/exp_fetch_join.py).
+
+The lesson generalizes to the 100 TB cluster: these are exactly the
+layout decisions an Iceberg frontier table (bucket-sorted on
+host-hash/seq-range) and a bucketed content store give for free — the
+bench proves the plan shapes, the engine ships them
+(CrawlConfig.frontier_layout, engine.py fetch join).
 """)
     print(json.dumps({"jobs": summary, "report": path}))
 
