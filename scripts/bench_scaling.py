@@ -43,11 +43,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-"""Job sizes: large enough that per-run fixed costs (broadcast builds,
-stage scheduling, Python worker management — ~15 s measured) are small
-against the scan/shuffle work at BOTH levels; the north rule describes a
-10^10-row frontier, so the asymptotic regime is the honest one."""
-JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 32_000_000}
+"""Job sizes: large enough that per-run fixed costs (driver planning,
+catalog ops, broadcast builds, stage scheduling — fitted f ≈ 12-14 s,
+verified constant from 0.5M to 32M by the t = f + w/cores model) are
+small against the scan/shuffle work at BOTH levels; the north rule
+describes a 10^10-row frontier, so the asymptotic regime is the honest
+one. 64M at c4 runs ~4.5 min — the largest size that keeps a
+multi-run collection practical on this box."""
+JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 64_000_000}
 JOB_LABEL = {
     "round": "URLs through a full crawl round / sec",
     "schedule": "URLs scheduled+deduped / sec (shuffle core)",
