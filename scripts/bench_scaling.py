@@ -48,9 +48,11 @@ catalog ops, broadcast builds, stage scheduling — fitted f ≈ 12-14 s,
 verified constant from 0.5M to 32M by the t = f + w/cores model) are
 small against the scan/shuffle work at BOTH levels; the north rule
 describes a 10^10-row frontier, so the asymptotic regime is the honest
-one. 64M at c4 runs ~4.5 min — the largest size that keeps a
-multi-run collection practical on this box."""
-JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 64_000_000}
+one. 64M was tried and REVERTED: at c16 the per-URL rate drops ~20%
+(sustained memory-subsystem pressure on this one box, and 3-minute runs
+can no longer fit inside one fast-host window) — beyond 32M the bench
+measures the box, not the engine."""
+JOB_N_DEFAULT = {"round": 6_000_000, "schedule": 32_000_000}
 JOB_LABEL = {
     "round": "URLs through a full crawl round / sec",
     "schedule": "URLs scheduled+deduped / sec (shuffle core)",

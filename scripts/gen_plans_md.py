@@ -103,6 +103,36 @@ def main() -> None:
         sched,
     )
 
+    # 4b. presalted rank over a bucket-sorted frontier snapshot — the
+    # engine's shipped layout path (frontier_layout="bucketsort")
+    import tempfile
+
+    from crawler_service_spark.operators.politeness import presalt
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    bs_dir = tempfile.mkdtemp(prefix="plans_bsnap_")
+    spark.sql("DROP TABLE IF EXISTS plans_bucket_snap")
+    (presalt(frontier, 2000).repartition(8, F.col("host"), F.col("_salt"))
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(8, "host", "_salt")
+     .sortBy("host", "_salt", "depth", "discovery_seq")
+     .option("path", bs_dir).saveAsTable("plans_bucket_snap"))
+    sched_ps, _ = schedule_round(
+        spark.table("plans_bucket_snap"), None, rank_strategy="presalted")
+    add(
+        "RL1 politeness rank over a bucket-sorted frontier snapshot "
+        "(engine layout path)",
+        "The snapshot is written repartitioned on (host, _salt) into "
+        "bucketBy+sortBy parquet — exactly one file per bucket — so the "
+        "scan itself reports the rank's required clustering AND ordering: "
+        "the payload side has NO Exchange and NO Sort; the only exchange "
+        "feeds the tiny per-bucket offsets branch behind the "
+        "BroadcastHashJoin. This is the per-round shape of the 10^10 "
+        "frontier (Iceberg table bucket-sorted on host-hash/seq-range).",
+        sched_ps,
+    )
+    spark.sql("DROP TABLE IF EXISTS plans_bucket_snap")
+
     # 5. sharded bloom probe — the 10^10-scale D1 prefilter
     from crawler_service_spark.operators.dedup import ShardedBloomFilter
 
