@@ -296,9 +296,14 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     from crawler_service_spark.operators.politeness import presalt, schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    # finer grain for the rank's window SORT stage only (identical at both
-    # parallelism levels; see skew_resistant_host_rank docstring)
-    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
+    # bucket count for the bucket-sorted snapshot. 256 dates from the
+    # adaptive rank's separate SORT stage (finer sorts, shorter tails);
+    # with the layout the sort is gone and 256 one-bucket files only buy
+    # scheduling latency — a 256-task counts scan (bucketed scans cannot
+    # coalesce), 256 write commits, 256-file listings. 64 measured ~9%
+    # faster at c16 and neutral at c4 (in-JVM alternating A/B,
+    # /tmp-less: scripts/exp_sched_actions.py + ab pairs).
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
         """Identical pipeline for warmup and the measured run."""
@@ -397,7 +402,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     from crawler_service_spark.operators.politeness import presalt, schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
     cfg = CrawlConfig()
 
     def mk_store(src: DataFrame) -> DataFrame:

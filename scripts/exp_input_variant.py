@@ -37,7 +37,7 @@ def main() -> None:
     from crawler_service_spark.operators.politeness import schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
     spark = build_spark(args.cpus, "exp-input")
     spark.sparkContext.setLogLevel("ERROR")
     n = args.n

@@ -48,7 +48,7 @@ def main() -> None:
     spark = bench.build_spark(args.cpus, "exp-round-phases")
     spark.sparkContext.setLogLevel("ERROR")
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
     n = args.n
     salt_width = max(1 << 14, n // 256)
     cfg = CrawlConfig()

@@ -46,7 +46,7 @@ def main() -> None:
     )
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
-    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "256"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
     spark = build_spark(args.cpus, "exp-sched-phases")
     spark.sparkContext.setLogLevel("ERROR")
     n = args.n
