@@ -292,7 +292,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     does not — a disk-bound stage would benchmark the disk, not the
     engine (BENCH/BASELINE.md documents this proxy choice)."""
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-    from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+    from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
     from crawler_service_spark.operators.politeness import presalt, schedule_round
 
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
@@ -330,7 +330,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "sched_round",
                     rank_parts, ["host", "_salt"],
-                    ["host", "_salt", "depth", "discovery_seq"])
+                    ["host", "depth", "_salt", "discovery_seq"])
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "sched_round", rank_parts,
@@ -367,7 +367,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     # pre-partitioned on the composite hash-prefixed key the anti-join
     # uses: the persisted seen side then joins with NO per-round exchange
     # (cluster analog: a bucketed/Iceberg seen table bucketed on the key)
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
 
@@ -397,7 +397,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     Arrow-batched Python workers scale near-linearly with cores)."""
     from crawler_service_spark.config import CrawlConfig
     from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-    from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+    from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
     from crawler_service_spark.operators.extract import extract_pages
     from crawler_service_spark.operators.politeness import presalt, schedule_round
 
@@ -438,7 +438,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "round_batch",
                     rank_parts, ["host", "_salt"],
-                    ["host", "_salt", "depth", "discovery_seq"])
+                    ["host", "depth", "_salt", "discovery_seq"])
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "round_batch", rank_parts,
@@ -479,7 +479,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             "url",
         ).select("canon_url")
     )
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
     store = mk_store(synth_frontier(spark, n, n_hosts)).persist()

@@ -84,17 +84,25 @@ class CrawlConfig:
     bloom_shards: int = 16                # >0: sharded DataFrame-resident
                                           # filter (scale path); 0: legacy
                                           # driver bitmap
+    # cumulative-seen row count past which (a) the seen anti-join flips
+    # to a shuffled-hash build and (b) the bloom prefilter engages —
+    # below it the planner's broadcast-anti plan is already free and the
+    # prefilter would cost more than the join it saves (r02 VERDICT
+    # item 3: small crawls paid 3.6× for nothing). Set 0 to force the
+    # prefilter on from round 0 (tests / A-Bs).
+    large_seen_threshold: int = 2_000_000
 
     # frontier snapshot layout (north-rule scale path): "bucketsort"
-    # writes each frontier snapshot hash-clustered AND in-bucket-sorted
-    # on (host, _salt = discovery_seq div frontier_salt_width), exactly
-    # one file per bucket — the next round's politeness rank then plans
+    # writes each frontier snapshot hash-clustered on (host, _salt =
+    # discovery_seq div frontier_salt_width) AND in-bucket-sorted
+    # depth-major on (host, depth, _salt, discovery_seq), exactly one
+    # file per bucket — the next round's politeness rank then plans
     # with no payload exchange, no sort, and no driver stats barrier
-    # (operators/politeness.rank_presalted). "flat" = plain parquet +
-    # adaptive hot-host rank. Deferral runs (budget_rounds set) always
-    # take the flat path: a deferred frontier mixes depths within a
-    # host, and contiguous-seq salting would misrank (rank_presalted
-    # raises on that shape by design). Result-identical either way.
+    # (operators/politeness.rank_presalted). Composes with deferral
+    # (budget_rounds set) since r03: the rank partitions by
+    # (host, depth, _salt), so mixed-depth frontiers from deferred
+    # re-entries rank correctly over the same layout. "flat" = plain
+    # parquet + adaptive hot-host rank. Result-identical either way.
     frontier_layout: str = "bucketsort"
     frontier_salt_width: int = 1 << 18
 

@@ -185,7 +185,10 @@ def extract_page(
 
     text_content = None
     if extract_text:
-        text_content = _WS_RE.sub(" ", " ".join(text_parts)).strip()
+        # BS4 get_text() parity (crawler.py:299): adjacent text nodes
+        # CONCATENATE with no separator, then collapse whitespace —
+        # `a<b>b</b>` yields "ab", not "a b"
+        text_content = _WS_RE.sub(" ", "".join(text_parts)).strip()
 
     return {
         "title": title,
@@ -339,10 +342,9 @@ def extract_page_tolerant(
     HTMLParser. Identical output to the strict parser on the corpus
     grammar; on real-world HTML it mirrors the reference's BeautifulSoup
     calls (first title / first meta-description / first canonical win;
-    every img/a/h1-3 collected; script+style text dropped; text
-    whitespace-collapsed). One BS4 divergence, shared with the strict
-    parser: adjacent text nodes join with a single space rather than
-    ``get_text()``'s bare concatenation."""
+    every img/a/h1-3 collected; script+style text dropped; text nodes
+    concatenated with no separator per ``get_text()`` then
+    whitespace-collapsed — crawler.py:299-300)."""
     p = _TolerantExtractor()
     try:
         p.feed(html)
@@ -385,7 +387,8 @@ def extract_page_tolerant(
 
     text_content = None
     if extract_text:
-        text_content = _WS_RE.sub(" ", " ".join(p.text_parts)).strip()
+        # get_text() concatenation semantics — see extract_page
+        text_content = _WS_RE.sub(" ", "".join(p.text_parts)).strip()
 
     return {
         "title": title,

@@ -228,51 +228,43 @@ def rank_presalted(b: DataFrame, priority_col: str) -> DataFrame:
     * EVERY host is salted (not just hot ones) — with the layout doing
       the clustering there is no cost to salting cold hosts, and no
       hot-host detection scan is needed at all;
-    * bucket offsets come from a window cumsum over the per-(host,_salt)
-      count frame (tiny: one short row per touched bucket) broadcast
-      back — NO driver collect, NO literal rebuild per round; the whole
-      rank is ONE query with a single tiny exchange;
+    * bucket offsets come from a window cumsum over the per-
+      (host, priority, _salt) count frame (tiny: one short row per
+      touched bucket) broadcast back — NO driver collect, NO literal
+      rebuild per round; the whole rank is ONE query with a single tiny
+      exchange;
     * over a bucketed scan, neither the count aggregate nor the
       row_number window exchanges the payload (HashPartitioning on the
-      bucket keys satisfies both clustered distributions).
+      (host, _salt) bucket keys satisfies the (host, priority, _salt)
+      clustered distributions — partitioning cols ⊆ clustering cols);
+      with the snapshot in-bucket-sorted on (host, priority, _salt,
+      discovery_seq) the window is also sort-free.
 
-    PRECONDITION (same as the salted branch of
-    ``skew_resistant_host_rank``): ``priority_col`` constant per host —
-    checked cheaply on the tiny count frame, falling back would require
-    the caller's plain window, so this raises to make misuse loud.
+    MIXED PRIORITIES ARE VALID (r02 VERDICT item 5 — the old variant
+    raised): the local window partitions by (host, priority, _salt), so
+    priority is constant within every rank partition by construction,
+    and the offset cumsum orders buckets priority-major then by salt
+    range — exactly the (priority, discovery_seq) global order per host
+    even when deferred rows re-enter a frontier at an older depth.
+    ``_salt`` must be a non-decreasing function of ``discovery_seq``
+    (``presalt``'s ``seq div width`` is), so within one (host, priority)
+    the salt buckets are contiguous seq ranges.
     """
-    counts = b.groupBy("host", "_salt").agg(
+    counts = b.groupBy("host", priority_col, "_salt").agg(
         F.count("*").alias("_c"),
-        F.min(priority_col).alias("_pn"),
-        F.max(priority_col).alias("_px"),
     )
-    w_off = Window.partitionBy("host").orderBy("_salt")
-    w_host = Window.partitionBy("host")
+    w_off = Window.partitionBy("host").orderBy(priority_col, "_salt")
     offsets = (
-        counts.withColumn(
-            "_off", F.sum("_c").over(w_off) - F.col("_c"))
-        # mixed = priority varies ANYWHERE within the host — across salt
-        # buckets included (constant-per-bucket but different-between-
-        # buckets is exactly the deferred-reentry shape that would
-        # misrank silently): host-level min(pn) != max(px)
-        .withColumn(
-            "_mixed",
-            (F.max("_px").over(w_host) != F.min("_pn").over(w_host))
-            .cast("int"))
-        .select("host", "_salt", "_off", "_mixed")
+        counts.withColumn("_off", F.sum("_c").over(w_off) - F.col("_c"))
+        .select("host", priority_col, "_salt", "_off")
     )
-    w_local = Window.partitionBy("host", "_salt").orderBy(
-        priority_col, "discovery_seq")
+    w_local = Window.partitionBy("host", priority_col, "_salt").orderBy(
+        "discovery_seq")
     return (
         b.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["host", "_salt"])
+        .join(F.broadcast(offsets), ["host", priority_col, "_salt"])
         .withColumn(
-            "host_rank",
-            F.when(F.col("_mixed") == 1, F.raise_error(F.lit(
-                "rank_presalted: priority varies within a host; "
-                "contiguous-seq salting would misrank — use "
-                "skew_resistant_host_rank")))
-            .otherwise((F.col("_lrn") + F.col("_off")).cast("long")),
+            "host_rank", (F.col("_lrn") + F.col("_off")).cast("long"),
         )
         .select(*b.columns, "host_rank")
     )

@@ -893,7 +893,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_first_occurrence": q_d2_first_occurrence,
     "d2_first_occurrence_window": q_d2_first_occurrence_window,
     "rl1_budget_rank": q_rl1_budget_rank,
-    "rl1_budget_rank_salted": q_rl1_budget_rank_salted,
+    # NOTE: the registry is capped at 50 keys — the driver's correctness
+    # harness records at most 50 rows (r02 registered 51, recorded 50,
+    # silently dropping the last key). The salted rank variant
+    # (q_rl1_budget_rank_salted) stays implemented + oracle-equal via
+    # tests/test_politeness_rank.py::test_salted_rank_equals_plain_window;
+    # its registry slot goes to a3_retry_stats.
     "rl1_budget_rank_presalted": q_rl1_budget_rank_presalted,
     "rl1_wait_time": q_rl1_wait_time,
     "j2_policy_join": q_j2_policy_join,
@@ -933,7 +938,6 @@ ORACLE_SQL: dict[str, str] = {
     "d2_first_occurrence": SQL_D2,
     "d2_first_occurrence_window": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
-    "rl1_budget_rank_salted": SQL_RL1,
     "rl1_budget_rank_presalted": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,
     "j2_policy_join": SQL_J2,

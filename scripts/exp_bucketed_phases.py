@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 import bench
 from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
 from crawler_service_spark.operators.politeness import presalt, schedule_round
 
 
@@ -42,7 +42,7 @@ def main() -> None:
             bench.synth_frontier(spark, args.n, args.n_hosts)
             .filter(F.col("discovery_seq") % 3 == 0), "url")
         .select("canon_url"))
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
 
@@ -63,7 +63,7 @@ def main() -> None:
         dt = time.monotonic() - t0
         print(f"{label}: {dt:.2f}s (probe {p0:.3f}/{bench.cpu_probe():.3f})")
 
-    sort_cols = ["host", "_salt", "depth", "discovery_seq"]
+    sort_cols = ["host", "depth", "_salt", "discovery_seq"]
 
     # warmup both paths once at 1/20 scale
     w = b.limit(args.n // 20)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 import bench
 from crawler_service_spark.config import CrawlConfig
 from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
 from crawler_service_spark.operators.extract import extract_pages
 from crawler_service_spark.operators.politeness import presalt, schedule_round
 
@@ -64,7 +64,7 @@ def main() -> None:
         bench.synth_frontier(spark, n, 10_000)
         .filter(F.col("discovery_seq") % 3 == 0), "url")
         .select("canon_url"))
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
     b = canonicalize_frame(bench.synth_frontier(spark, n, 10_000), "url") \
@@ -74,7 +74,7 @@ def main() -> None:
     b = anti_join_seen(b, seen, ["canon_url"], shuffle_hash=True, hash_key=True)
     snap = bench.snapshot_bucket_sorted(
         spark, presalt(b, salt_width), "fj_snap", rank_parts,
-        ["host", "_salt"], ["host", "_salt", "depth", "discovery_seq"])
+        ["host", "_salt"], ["host", "depth", "_salt", "discovery_seq"])
     admitted, _ = schedule_round(
         snap, None, priority_col="depth", rank_strategy="presalted")
 

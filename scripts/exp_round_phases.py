@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 import bench
 from crawler_service_spark.config import CrawlConfig
 from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
 from crawler_service_spark.operators.extract import extract_pages
 from crawler_service_spark.operators.politeness import presalt, schedule_round
 
@@ -60,7 +60,7 @@ def main() -> None:
             bench.synth_frontier(spark, n, args.n_hosts)
             .filter(F.col("discovery_seq") % 3 == 0), "url")
         .select("canon_url"))
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
 
@@ -83,7 +83,7 @@ def main() -> None:
     store = mk_store(bench.synth_frontier(spark, n, args.n_hosts)).persist()
     store.count()
 
-    sort_cols = ["host", "_salt", "depth", "discovery_seq"]
+    sort_cols = ["host", "depth", "_salt", "discovery_seq"]
 
     def p1(src, name):
         b = canonicalize_frame(src, "url").withColumn(

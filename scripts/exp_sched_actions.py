@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 import bench
 from crawler_service_spark.functions.urls import canonicalize_frame, host_native
-from crawler_service_spark.operators.dedup import anti_join_seen, first_occurrence
+from crawler_service_spark.operators.dedup import with_key_hash, anti_join_seen, first_occurrence
 from crawler_service_spark.operators.politeness import presalt, schedule_round
 
 
@@ -43,7 +43,7 @@ def main() -> None:
         bench.synth_frontier(spark, n, 10_000)
         .filter(F.col("discovery_seq") % 3 == 0), "url")
         .select("canon_url"))
-    seen = seen.select(F.xxhash64("canon_url").alias("_kh"), "canon_url")
+    seen = with_key_hash(seen.select("canon_url"), ["canon_url"])
     seen = seen.repartition(parts, "_kh", "canon_url").persist()
     seen.count()
 
@@ -61,7 +61,7 @@ def main() -> None:
         spark, presalt(build_batch(bench.synth_frontier(spark, wn, 10_000)),
                        salt_width),
         "sa_warm", rank_parts, ["host", "_salt"],
-        ["host", "_salt", "depth", "discovery_seq"])
+        ["host", "depth", "_salt", "discovery_seq"])
     wa, _ = schedule_round(ws, None, default_limit=10, default_window_s=60,
                            round_epoch=0.0, priority_col="depth",
                            rank_strategy="presalted")
@@ -80,7 +80,7 @@ def main() -> None:
         t0 = time.monotonic()
         snap = bench.snapshot_bucket_sorted(
             spark, df_w, "sa_snap", rank_parts, ["host", "_salt"],
-            ["host", "_salt", "depth", "discovery_seq"])
+            ["host", "depth", "_salt", "discovery_seq"])
         rec["act_write"] = round(time.monotonic() - t0, 2)
         adm, _ = schedule_round(snap, None, default_limit=10,
                                 default_window_s=60, round_epoch=0.0,

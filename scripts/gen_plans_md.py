@@ -115,7 +115,7 @@ def main() -> None:
     (presalt(frontier, 2000).repartition(8, F.col("host"), F.col("_salt"))
      .write.mode("overwrite").format("parquet")
      .bucketBy(8, "host", "_salt")
-     .sortBy("host", "_salt", "depth", "discovery_seq")
+     .sortBy("host", "depth", "_salt", "discovery_seq")
      .option("path", bs_dir).saveAsTable("plans_bucket_snap"))
     sched_ps, _ = schedule_round(
         spark.table("plans_bucket_snap"), None, rank_strategy="presalted")

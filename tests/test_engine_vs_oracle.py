@@ -140,6 +140,19 @@ def test_engine_no_bloom_same_result(spark):
         _compare(tables, oracle)
 
 
+def test_engine_bloom_engaged_same_result(spark):
+    """The prefilter is gated on large_seen_threshold (dormant on small
+    crawls); force it on from round 0 and assert the bloom-engaged path
+    is oracle-equal too (exactness: prefilter can't drop rows)."""
+    cfg = CrawlConfig(max_depth=2, follow_links=True, respect_robots=False,
+                      large_seen_threshold=0)
+    with tempfile.TemporaryDirectory() as tmp:
+        tables = _run_engine(spark, cfg, tmp, use_bloom=True)
+        oracle = _run_oracle(spark, cfg)
+        _compare(tables, oracle)
+        _compare_seen(tables, oracle)
+
+
 def test_retry_stats_match(spark):
     cfg = CrawlConfig(max_depth=2, follow_links=True, respect_robots=False)
     with tempfile.TemporaryDirectory() as tmp:
@@ -188,6 +201,32 @@ def test_engine_matches_oracle_with_deferral(spark):
         ]
         _compare(tables, oracle)
         _compare_seen(tables, oracle)
+
+
+def test_engine_deferral_flat_vs_bucketsort_layout(spark):
+    """r03: deferral composes with the bucketsort layout (the rank is
+    depth-major per bucket). Both layouts must produce identical fetch
+    order and seen sets on a deferral-heavy crawl."""
+    from crawler_service_spark.engine import fetch_order
+
+    def run(layout):
+        cfg = CrawlConfig(
+            max_depth=0, follow_links=True, respect_robots=False,
+            budget_rounds=1, default_rate_limit=10, frontier_layout=layout,
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            store = build_store_df(spark, 60, 1)
+            seeds = build_seeds_df(spark, 60, 1, 1)
+            engine = CrawlEngine(spark, cfg, store, checkpoint_dir=tmp)
+            tables = engine.crawl(seeds)
+            pages = fetch_order(tables.pages).select(
+                "task_id", "fetch_seq", "url", "depth", "round",
+                "virtual_fetch_time").collect()
+            seen = {(r["task_id"], r["canon_url"])
+                    for r in tables.seen.collect()}
+            return sorted(tuple(r) for r in pages), seen
+
+    assert run("bucketsort") == run("flat")
 
 
 def test_politeness_invariant(spark):

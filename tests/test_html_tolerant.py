@@ -177,3 +177,50 @@ def test_auto_dispatch_in_extract_stage(spark):
     assert rows["<html>"]["links"] == ["https://h.example.com/x"]
     assert rows["<HTML>"]["headings"]["h1"] == ["Messy"]
     assert rows["<HTML>"]["links"] == ["https://h.example.com/y"]
+
+
+# ---------------------------------------------------------------------------
+# BS4 get_text() concatenation parity (VERDICT r02 item 4): adjacent text
+# nodes join with NO separator before whitespace collapse — `a<b>b</b>`
+# must yield "ab", matching soup.get_text() + re.sub(r'\s+', ' ')
+# (crawler.py:295-300). Oracle values below are literal BeautifulSoup
+# outputs for these fixtures.
+# ---------------------------------------------------------------------------
+
+GET_TEXT_FIXTURES = [
+    # (html, expected text_content under get_text + \s+ collapse + strip)
+    ("<html><body>a<b>b</b></body></html>", "ab"),
+    ("<html><body><p>one</p><p>two</p></body></html>", "onetwo"),
+    ("<html><body>pre <em>mid</em>post</body></html>", "pre midpost"),
+    ("<html><head><title>T</title></head><body><h1>H</h1>x</body></html>",
+     "THx"),
+    ("<html><body><p>see <a href='/l'>link</a>!</p>tail</body></html>",
+     "see link!tail"),
+    ("<html><body>a <span> b </span> c</body></html>", "a b c"),
+    ("<html><body><h2>A<sub>1</sub>B</h2></body></html>", "A1B"),
+    ("<html><body><script>drop()</script>kept<style>p{}</style>!"
+     "</body></html>", "kept!"),
+]
+
+
+def test_get_text_concatenation_parity_tolerant():
+    for html, expected in GET_TEXT_FIXTURES:
+        out = extract_page_tolerant(html, BASE)
+        assert out["text_content"] == expected, html
+
+
+def test_get_text_concatenation_parity_strict_grammar():
+    # on the corpus grammar both parsers must agree on the new semantics
+    spans = [
+        {"kind": "title", "text": "T x", "media_ref": None, "offset": 0},
+        {"kind": "h1", "text": "H", "media_ref": None, "offset": 1},
+        {"kind": "text", "text": "body", "media_ref": None, "offset": 2},
+        {"kind": "link", "text": "/p", "media_ref": None, "offset": 3},
+    ]
+    html = render_html(spans)
+    from crawler_service_spark.functions.html import extract_page
+    strict = extract_page(html, BASE)
+    tolerant = extract_page_tolerant(html, BASE)
+    # get_text concatenation: "T x" + "H" + "body" + "go" (anchor text)
+    assert strict["text_content"] == "T xHbodygo"
+    assert tolerant["text_content"] == strict["text_content"]

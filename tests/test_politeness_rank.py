@@ -87,10 +87,18 @@ def test_presalted_rank_equals_plain_window(spark):
     assert got == want
 
 
-def test_presalted_rank_raises_on_mixed_priority(spark):
+def test_presalted_rank_handles_mixed_priority(spark):
+    """r03: mixed priority within a host is VALID — the rank partitions
+    by (host, depth, _salt) and orders buckets depth-major, so it must
+    equal the plain (depth, discovery_seq) window even on the
+    mixed-priority host (the old variant raised here)."""
     b = _mixed_batch(spark)  # mixed.example.com varies depth within host
-    with pytest.raises(Exception, match="priority varies"):
-        rank_presalted(presalt(b, 1000), "depth").collect()
+    ranked = rank_presalted(presalt(b, 1000), "depth")
+    w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+    ref = b.withColumn("host_rank", F.row_number().over(w).cast("long"))
+    got = {tuple(r) for r in ranked.drop("_salt").collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want
 
 
 def test_schedule_round_presalted_matches_plain(spark):
@@ -138,15 +146,21 @@ def test_presalted_rank_over_bucketed_snapshot_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_presalt_snap")
 
 
-def test_presalted_rank_raises_on_cross_bucket_priority(spark):
-    """Priority constant within every salt bucket but different across
-    buckets of one host (the deferred-reentry shape) must ALSO raise —
-    contiguous-seq salting would silently rank the earlier-seq bucket
-    first even though the later bucket has higher priority."""
+def test_presalted_rank_cross_bucket_priority(spark):
+    """The deferred-reentry shape: priority constant within every salt
+    bucket but different across buckets of one host — a later-seq bucket
+    carries HIGHER priority (lower depth). The depth-major offset cumsum
+    must rank the depth-0 (later-seq) rows 1..2000 ahead of the depth-1
+    (earlier-seq) rows (the pre-r03 variant raised on this shape)."""
     b = spark.range(4000).select(
         F.lit("x.example.com").alias("host"),
         F.when(F.col("id") < 2000, 1).otherwise(0).cast("int").alias("depth"),
         F.col("id").alias("discovery_seq"),
     )
-    with pytest.raises(Exception, match="priority varies"):
-        rank_presalted(presalt(b, 1000), "depth").collect()
+    ranked = rank_presalted(presalt(b, 1000), "depth")
+    rows = {r["discovery_seq"]: r["host_rank"] for r in ranked.collect()}
+    for seq, rank in rows.items():
+        if seq >= 2000:   # depth 0: fetched first, in seq order
+            assert rank == seq - 2000 + 1
+        else:             # depth 1: after all depth-0 rows
+            assert rank == 2000 + seq + 1

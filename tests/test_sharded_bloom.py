@@ -74,12 +74,30 @@ def test_unfitted_and_missing_shards(spark):
 
 def test_driver_holds_no_bitmap(spark):
     """The scale contract: driver state is O(1) — a handle to a
-    DataFrame of ≤ n_shards rows, no numpy bitmap, no bytes."""
+    DataFrame of at most num_bits/64 sparse word rows, no numpy bitmap,
+    no bytes."""
     sb = ShardedBloomFilter(spark, num_bits=1 << 20, n_shards=16).fit(
         keys(spark, 0, 50_000), "canon_url")
     for v in vars(sb).values():
         assert not isinstance(v, (np.ndarray, bytes, bytearray))
-    assert sb.shards.count() <= 16
+    assert sb.words.count() <= (1 << 20) // 64
+
+
+def test_probe_is_native(spark):
+    """r02 VERDICT item 3: the probe plan must contain NO Python/Arrow
+    stage (no FlatMapCoGroupsInPandas / ArrowEvalPython) and no shuffle
+    of the candidate batch — broadcast joins + codegen bit tests only."""
+    sb = ShardedBloomFilter(spark, num_bits=1 << 16, n_shards=8).fit(
+        keys(spark, 0, 4000), "canon_url")
+    batch = keys(spark, 0, 1000, extra_cols=True).repartition(5)
+    ann = sb.annotate(batch, "canon_url")
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # candidate side never shuffles for the probe: broadcast joins
+    # preserve the batch's partitioning (the only exchanges in the plan
+    # belong to the words-table build lineage / broadcast itself)
+    assert ann.rdd.getNumPartitions() == 5
 
 
 def test_ten_million_keys_driver_flat(spark):

@@ -78,10 +78,15 @@ def test_windowed_counts_match_batch(spark, stream_dir):
 
 
 def test_host_budget_state_limits_admissions(spark, stream_dir):
+    """Single-window degenerate case (window_s larger than the stream
+    span): the first `limit` rows per host ever admitted — the pre-r03
+    single-counter semantics, now a special case of the windowed state."""
     batch = _write_fetch_log(spark, stream_dir)
     stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
     name = "budget_" + uuid.uuid4().hex[:8]
-    out = _run_stream(spark, host_budget_state(stream, limit=10), name, "append")
+    out = _run_stream(
+        spark, host_budget_state(stream, limit=10, window_s=10 ** 9),
+        name, "append")
     rows = out.collect()
     assert len(rows) == 300
     per_host_admitted = {}
@@ -97,3 +102,43 @@ def test_host_budget_state_limits_admissions(spark, stream_dir):
     for host, rs in by_host.items():
         assert [r["admit_seq"] for r in rs] == list(range(1, len(rs) + 1))
         assert all(r["admitted"] == (1 if r["admit_seq"] <= 10 else 0) for r in rs)
+
+
+def test_host_budget_state_multi_window_matches_batch(spark, stream_dir):
+    """r02 VERDICT item 6: streams spanning MANY politeness windows.
+    State (window_start, used) resets per tumbling window — per-host
+    admissions must equal the batch schedule oracle (row_number within
+    (host, window) ≤ limit), with genuine deferrals in multiple windows."""
+    from pyspark.sql import Window
+
+    batch = _write_fetch_log(spark, stream_dir)   # 300 rows, 7 hosts, 35 min
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    name = "budget_mw_" + uuid.uuid4().hex[:8]
+    out = _run_stream(
+        spark, host_budget_state(stream, limit=2, window_s=300),
+        name, "append")
+    got = {
+        (r["host"], r["url"]): (r["window_start"], r["admit_seq"], r["admitted"])
+        for r in out.collect()
+    }
+    assert len(got) == 300
+
+    w = Window.partitionBy(
+        "host", F.window("ts", "300 seconds")).orderBy("ts", "url")
+    oracle = (
+        batch.withColumn("admit_seq", F.row_number().over(w).cast("long"))
+        .withColumn("window_start", F.window("ts", "300 seconds")["start"])
+        .withColumn(
+            "admitted", (F.col("admit_seq") <= 2).cast("long"))
+    )
+    want = {
+        (r["host"], r["url"]): (r["window_start"], r["admit_seq"], r["admitted"])
+        for r in oracle.collect()
+    }
+    assert got == want
+    # the fixture genuinely exercises multi-window state: >1 window per
+    # host AND deferrals in more than one window
+    n_windows = len({v[0] for v in want.values()})
+    assert n_windows >= 5
+    deferred_windows = {v[0] for v in got.values() if v[2] == 0}
+    assert len(deferred_windows) >= 2
