@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -185,25 +186,58 @@ def snapshot_bucketed(spark: SparkSession, df: DataFrame, name: str,
     return spark.table(name)
 
 
+def bucketize_files(path: str) -> None:
+    """Stamp plain-write part files with the bucket-id suffix Spark's
+    bucketed scan parses from filenames. Valid because the write was
+    pre-repartitioned on the bucket columns with the bucket count —
+    repartition's HashPartitioning and bucketBy's bucket id share the
+    same Murmur3 pmod, so partition i IS bucket i. Cluster analog:
+    Iceberg's bucket-transform metadata names the bucket in table
+    metadata rather than the filename."""
+    pat = re.compile(r"^part-(\d{5})-([0-9a-f\-]+)-c000(\..*)?\.parquet$")
+    for f in os.listdir(path):
+        m = pat.match(f)
+        if m:
+            ext = m.group(3) or ""
+            os.rename(
+                os.path.join(path, f),
+                os.path.join(path, f"part-{m.group(1)}-{m.group(2)}"
+                                   f"_{int(m.group(1)):05d}.c000{ext}.parquet"))
+        elif f.endswith(".crc"):   # orphaned RawLocalFileSystem checksums
+            os.remove(os.path.join(path, f))
+
+
 def snapshot_bucket_sorted(spark: SparkSession, df: DataFrame, name: str,
                            buckets: int, cols: list[str],
                            sort_cols: list[str]) -> DataFrame:
     """Round snapshot whose LAYOUT does the rank's work: one payload
     exchange (repartition on the bucket key — the very exchange the rank
-    would otherwise run after the read) feeds a bucketBy+sortBy write
-    producing exactly one file per bucket (repartition and bucketing
-    share Murmur3 pmod, so each task holds one bucket). The read-back
-    scan then reports HashPartitioning(cols) AND per-bucket sort order,
-    so rank_presalted plans with no exchange, no sort, and no driver
-    stats barrier. The in-bucket sort rides the write's spill-free
-    local sort instead of a separate post-read stage."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    would otherwise run after the read) feeds a sorted write producing
+    exactly one file per bucket (repartition and bucketing share Murmur3
+    pmod, so each task holds one bucket). The read-back scan then
+    reports HashPartitioning(cols) AND per-bucket sort order, so
+    rank_presalted plans with no exchange, no sort, and no driver stats
+    barrier.
+
+    r03: the files are written by a PLAIN sorted parquet write, stamped
+    with bucket-id filenames (see bucketize_files), and registered via
+    one CREATE TABLE DDL — measured against the bucketBy+sortBy
+    saveAsTable path this removes pure overhead at both levels (c4
+    29.2→20.4 s, c16 8.2→6.2 s on the 21M-row snapshot,
+    scripts/exp_rank_variants2.py): saveAsTable's bucketed write path
+    re-sorts by (bucketId, sort_cols…) through a second sorter pass and
+    pays catalog round-trips inside the timed region."""
+    path = f"{SNAP_DIR}/{name}"
     (df.repartition(buckets, *[F.col(c) for c in cols])
-     .write.mode("overwrite").format("parquet")
-     .bucketBy(buckets, *cols)
-     .sortBy(*sort_cols)
-     .option("path", f"{SNAP_DIR}/{name}")
-     .saveAsTable(name))
+     .sortWithinPartitions(*sort_cols)
+     .write.mode("overwrite").parquet(path))
+    bucketize_files(path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({df.schema.toDDL()}) USING parquet "
+        f"CLUSTERED BY ({', '.join(cols)}) "
+        f"SORTED BY ({', '.join(sort_cols)}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'")
     return spark.table(name)
 
 
@@ -319,7 +353,11 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
-        salt_width = max(1 << 14, n_rows // 256)
+        # width n/64 (was n/256): the offsets frame the rank broadcasts is
+        # hosts x (n/width) rows — 4x smaller here, measured rank c4
+        # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
+        # balance unhurt (64 salts/host still spread over all buckets)
+        salt_width = max(1 << 14, n_rows // 64)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
             # snapshot layout IS the scheduling layout: written bucketed
             # on (host, _salt), so the rank needs no exchange and no
@@ -432,7 +470,11 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
-        salt_width = max(1 << 14, n_rows // 256)
+        # width n/64 (was n/256): the offsets frame the rank broadcasts is
+        # hosts x (n/width) rows — 4x smaller here, measured rank c4
+        # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
+        # balance unhurt (64 salts/host still spread over all buckets)
+        salt_width = max(1 << 14, n_rows // 64)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
             if SNAPSHOT_LAYOUT == "bucketsort":
                 b = snapshot_bucket_sorted(

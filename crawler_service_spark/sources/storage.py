@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,13 +72,35 @@ class SnapshotStore:
         h = hashlib.md5(str(self.root).encode()).hexdigest()[:8]
         return f"snap_{h}_{table}_{rnd:06d}"
 
+    @staticmethod
+    def _bucketize_files(path: str) -> None:
+        """Stamp plain-write part files with the bucket-id filename
+        suffix Spark's bucketed scan parses. Valid because the write was
+        pre-repartitioned on the bucket columns with the bucket count —
+        repartition's HashPartitioning and bucketBy's bucket id share
+        the same Murmur3 pmod, so partition i IS bucket i. Cluster
+        analog: Iceberg's bucket transform names the bucket in table
+        metadata rather than the filename."""
+        pat = re.compile(r"^part-(\d{5})-([0-9a-f\-]+)-c000(\..*)?\.parquet$")
+        for f in os.listdir(path):
+            m = pat.match(f)
+            if m:
+                ext = m.group(3) or ""
+                os.rename(
+                    os.path.join(path, f),
+                    os.path.join(
+                        path, f"part-{m.group(1)}-{m.group(2)}"
+                              f"_{int(m.group(1)):05d}.c000{ext}.parquet"))
+            elif f.endswith(".crc"):  # orphaned local-FS checksums
+                os.remove(os.path.join(path, f))
+
     def write_table_bucketed(
         self, df: DataFrame, table: str, rnd: int,
         buckets: int, cols: list[str], sort_cols: list[str],
     ) -> str:
         """Snapshot whose LAYOUT carries the next round's scheduling
         work: one payload exchange (repartition on the bucket key) feeds
-        a bucketBy+sortBy write producing exactly one file per bucket
+        a sorted write producing exactly one file per bucket
         (repartition and bucketing share the Murmur3 pmod), so the
         read-back scan reports HashPartitioning(cols) AND per-bucket
         sort order — downstream windows/aggregates on those keys plan
@@ -85,16 +108,28 @@ class SnapshotStore:
         round-partitioned path as flat snapshots; a plain
         ``read_table`` of the path still works (minus the layout
         metadata). Cluster analog: an Iceberg frontier table
-        bucket-sorted on (host-hash, seq-range)."""
+        bucket-sorted on (host-hash, seq-range).
+
+        r03: written as a PLAIN sorted parquet write + bucket-id
+        filename stamp (:meth:`_bucketize_files`) + one CREATE TABLE
+        DDL instead of ``bucketBy().sortBy().saveAsTable()`` — the
+        saveAsTable bucketed-write path re-sorts by (bucketId,
+        sort_cols…) and pays catalog round-trips per round; measured
+        c4 29.2→20.4 s / c16 8.2→6.2 s on the 21M-row bench snapshot
+        (scripts/exp_rank_variants2.py)."""
         spark = df.sparkSession
         name = self._bucket_table_name(table, rnd)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = self._table_path(table, rnd)
         (df.repartition(buckets, *[F.col(c) for c in cols])
-         .write.mode("overwrite").format("parquet")
-         .bucketBy(buckets, *cols)
-         .sortBy(*sort_cols)
-         .option("path", self._table_path(table, rnd))
-         .saveAsTable(name))
+         .sortWithinPartitions(*sort_cols)
+         .write.mode("overwrite").parquet(path))
+        self._bucketize_files(path)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({df.schema.toDDL()}) USING parquet "
+            f"CLUSTERED BY ({', '.join(cols)}) "
+            f"SORTED BY ({', '.join(sort_cols)}) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'")
         # persist the layout spec beside the data: resume in a fresh
         # session must re-register with the bucket count the files were
         # WRITTEN with — registering with a different count makes Spark

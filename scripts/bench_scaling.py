@@ -242,14 +242,17 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
-WORKLOAD_REV = 5     # bump when the measured work graph changes (r3:
+WORKLOAD_REV = 6     # bump when the measured work graph changes (r3:
                      # window-strategy frontier dedup; r4: bucket-sorted
                      # snapshot + presalted rank, pre-join-aligned fetch
                      # join, level-independent input partitioning; r5:
                      # 64 snapshot buckets — with the in-bucket sort the
                      # 256-bucket granularity only bought scheduling
-                     # latency) — stats pool only same-rev runs;
-                     # cross-rev medians would mix different engines
+                     # latency; r6: depth-major in-bucket sort + the
+                     # deferral-composable rank join on (host, depth,
+                     # _salt), provenance-checked _kh) — stats pool only
+                     # same-rev runs; cross-rev medians would mix
+                     # different engines
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
 STEAL_MAX = 1.5      # % hypervisor steal during the run — above this the
                      # co-tenant, not the engine, set the wall time
