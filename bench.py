@@ -152,6 +152,12 @@ DEDUP_STRATEGY = os.environ.get("SPARK_GRAFT_DEDUP_STRATEGY", "window")
 #    barrier into write-side work that scales with cores.
 SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "bucketsort")
 
+# where the frontier jobs compute the host column: "early" (at canon
+# time, before the dedup exchange) or "late" (after dedup + seen
+# anti-join, before the layout exchange that needs it) — see
+# scripts/exp_host_late.py for the A/B
+HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "early")
+
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Materialize a round snapshot as parquet on tmpfs and read it back —
@@ -341,9 +347,9 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
         """Identical pipeline for warmup and the measured run."""
-        b = canonicalize_frame(src, "url").withColumn(
-            "host", host_native(F.col("url"))
-        )
+        b = canonicalize_frame(src, "url")
+        if HOST_STAGE == "early":
+            b = b.withColumn("host", host_native(F.col("url")))
         # window strategy: the round's input frontier is unique-heavy
         # (link-expansion dedup already ran when these URLs were
         # discovered), so the min-struct agg's map-side sort collapses
@@ -353,6 +359,13 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
+        if HOST_STAGE == "late":
+            # host is a pure function of the URL: computing it AFTER the
+            # dedup exchange + anti-join keeps ~18B/row of host strings
+            # out of the job's biggest shuffle and runs the extraction
+            # regex on the surviving ~2/3 of rows only — shuffle bytes
+            # are the box's non-scaling resource (exp_eventlog_sched)
+            b = b.withColumn("host", host_native(F.col("url")))
         # width n/64 (was n/256): the offsets frame the rank broadcasts is
         # hosts x (n/width) rows — 4x smaller here, measured rank c4
         # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
@@ -364,11 +377,17 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             # driver stats barrier (rank_presalted); "bucketsort" also
             # pre-repartitions and sorts in-bucket so the rank is
             # additionally sort-free over one file per bucket
+            counts_src = None
             if SNAPSHOT_LAYOUT == "bucketsort":
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "sched_round",
                     rank_parts, ["host", "_salt"],
                     ["host", "depth", "_salt", "discovery_seq"])
+                # plain column-pruned scan of the same files for the
+                # rank's bucket counts: the bucketed scan pays ~100-400ms
+                # of reader setup per one-task-per-bucket, flat across
+                # core counts (see rank_presalted docstring)
+                counts_src = spark.read.parquet(f"{SNAP_DIR}/sched_round")
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "sched_round", rank_parts,
@@ -376,7 +395,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             admitted, _ = schedule_round(
                 b, None, default_limit=10, default_window_s=60,
                 round_epoch=0.0, priority_col="depth",
-                rank_strategy="presalted",
+                rank_strategy="presalted", counts_src=counts_src,
             )
         else:
             # round snapshot: tmpfs parquet (see `snapshot`) — the
@@ -463,30 +482,35 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, store_df: DataFrame,
                      n_rows: int) -> None:
-        b = canonicalize_frame(src, "url").withColumn(
-            "host", host_native(F.col("url"))
-        )
+        b = canonicalize_frame(src, "url")
+        if HOST_STAGE == "early":
+            b = b.withColumn("host", host_native(F.col("url")))
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
+        if HOST_STAGE == "late":
+            b = b.withColumn("host", host_native(F.col("url")))
         # width n/64 (was n/256): the offsets frame the rank broadcasts is
         # hosts x (n/width) rows — 4x smaller here, measured rank c4
         # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
         # balance unhurt (64 salts/host still spread over all buckets)
         salt_width = max(1 << 14, n_rows // 64)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
+            counts_src = None
             if SNAPSHOT_LAYOUT == "bucketsort":
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "round_batch",
                     rank_parts, ["host", "_salt"],
                     ["host", "depth", "_salt", "discovery_seq"])
+                counts_src = spark.read.parquet(f"{SNAP_DIR}/round_batch")
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "round_batch", rank_parts,
                                       ["host", "_salt"])
             admitted, _ = schedule_round(
                 b, None, priority_col="depth", rank_strategy="presalted",
+                counts_src=counts_src,
             )
         else:
             # round snapshot: tmpfs parquet (see `snapshot`)

@@ -277,6 +277,14 @@ class CrawlEngine:
                 # over a bucket-sorted frontier snapshot the rank plans
                 # with no payload exchange/sort/driver barrier
                 rank_strategy="presalted" if self._use_layout else None,
+                # bucket counts from a plain column-pruned scan of the
+                # same snapshot files: a bucketed scan would run one
+                # fixed-overhead task per bucket (flat across core
+                # counts — see rank_presalted docstring)
+                counts_src=(
+                    self.storage.read_table(self.spark, "frontier", rnd)
+                    if self._use_layout else None
+                ),
             )
             admitted = admitted.drop("_salt")
 

@@ -219,7 +219,9 @@ def presalt(b: DataFrame, salt_width: int) -> DataFrame:
     )
 
 
-def rank_presalted(b: DataFrame, priority_col: str) -> DataFrame:
+def rank_presalted(
+    b: DataFrame, priority_col: str, counts_src: DataFrame | None = None,
+) -> DataFrame:
     """Per-host FIFO rank over a frame ALREADY carrying ``_salt`` and
     (ideally) already hash-clustered by (host, _salt) — e.g. a snapshot
     written ``bucketBy(n, "host", "_salt")``. Differences from
@@ -249,8 +251,22 @@ def rank_presalted(b: DataFrame, priority_col: str) -> DataFrame:
     ``_salt`` must be a non-decreasing function of ``discovery_seq``
     (``presalt``'s ``seq div width`` is), so within one (host, priority)
     the salt buckets are contiguous seq ranges.
+
+    ``counts_src`` (optional): an alternative DataFrame holding the SAME
+    rows to aggregate the bucket counts from. A bucketed-table scan
+    plans the count aggregate exchange-free but runs exactly one task
+    per bucket, and each bucketed-scan task carries ~100-400 ms of
+    reader setup that does not shrink with cores — measured as a FLAT
+    ~1.8 s stage at both 4 and 16 cores (scripts/exp_eventlog_sched.py).
+    Passing the same snapshot as a plain parquet read lets the scan
+    coalesce to a handful of column-pruned tasks; the tiny (~MBs)
+    aggregate exchange it re-introduces is far cheaper than the
+    per-task overhead it removes. The cluster analog: Iceberg metadata
+    tables serve these bucket counts without touching data files at all.
     """
-    counts = b.groupBy("host", priority_col, "_salt").agg(
+    counts = (counts_src if counts_src is not None else b).groupBy(
+        "host", priority_col, "_salt"
+    ).agg(
         F.count("*").alias("_c"),
     )
     w_off = Window.partitionBy("host").orderBy(priority_col, "_salt")
@@ -283,6 +299,7 @@ def schedule_round(
     skew_safe: bool = True,
     salt_width: int = 1 << 18,
     rank_strategy: str | None = None,
+    counts_src: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """RL1: returns (admitted, deferred).
 
@@ -307,7 +324,9 @@ def schedule_round(
     b = with_host_policy(batch, policy, default_limit, default_window_s)
 
     if rank_strategy == "presalted":
-        b = rank_presalted(b, priority_col)
+        # counts_src needs only (host, priority_col, _salt) — all data
+        # columns, so no policy join on the counts path
+        b = rank_presalted(b, priority_col, counts_src=counts_src)
     elif skew_safe:
         b = skew_resistant_host_rank(
             b, priority_col, shuffle_partitions or 32, salt_width=salt_width

@@ -51,21 +51,26 @@ def run(cpus: int, n: int, n_hosts: int = 10_000) -> str:
     rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
 
     def run_pipeline(src, seen_df, n_rows):
-        b = canonicalize_frame(src, "url").withColumn(
-            "host", host_native(F.col("url")))
+        # mirror bench.run_schedule_job exactly (HOST_STAGE + counts_src)
+        b = canonicalize_frame(src, "url")
+        if bench.HOST_STAGE == "early":
+            b = b.withColumn("host", host_native(F.col("url")))
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=bench.DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
+        if bench.HOST_STAGE == "late":
+            b = b.withColumn("host", host_native(F.col("url")))
         salt_width = max(1 << 14, n_rows // 64)
         b = bench.snapshot_bucket_sorted(
             spark, presalt(b, salt_width), "sched_round",
             rank_parts, ["host", "_salt"],
             ["host", "depth", "_salt", "discovery_seq"])
+        counts_src = spark.read.parquet(f"{bench.SNAP_DIR}/sched_round")
         admitted, _ = schedule_round(
             b, None, default_limit=10, default_window_s=60,
             round_epoch=0.0, priority_col="depth",
-            rank_strategy="presalted")
+            rank_strategy="presalted", counts_src=counts_src)
         bench.force(admitted)
         return b
 
@@ -155,6 +160,11 @@ def analyze(app_id: str, wall: float, cpus: int) -> dict:
             d["write_time"] += (swm.get("Shuffle Write Time", 0) or 0) / 1e9
             d["write_mb"] += (swm.get("Shuffle Bytes Written", 0) or 0) / 1e6
             d["spill_bytes"] += (tm.get("Disk Bytes Spilled", 0) or 0)
+            ti = ev.get("Task Info") or {}
+            lt, ft = ti.get("Launch Time"), ti.get("Finish Time")
+            if lt and ft:
+                d["first_launch"] = min(d.get("first_launch", lt), lt)
+                d["last_finish"] = max(d.get("last_finish", 0), ft)
 
     timed_stage_ids = sorted(
         sid for jid in timed_jobs for sid in job_stages[jid]
@@ -200,13 +210,19 @@ def analyze(app_id: str, wall: float, cpus: int) -> dict:
     print(json.dumps(out))
     for s in sorted(stages, key=lambda x: -x["wall_s"]):
         d = stage_detail.get(s["id"], {})
+        if "first_launch" in d:
+            si = stage_info[s["id"]]
+            s["pre_s"] = round((d["first_launch"] - si["Submission Time"]) / 1000, 2)
+            s["task_span_s"] = round((d["last_finish"] - d["first_launch"]) / 1000, 2)
         print(f"  stage {s['id']:>4} wall {s['wall_s']:>7.2f} ideal "
               f"{s['ideal_s']:>7.2f} tail {s['tail_s']:>6.2f} "
               f"tasks {s['tasks']:>4} | cpu {d.get('cpu', 0):>7.1f} gc "
               f"{d.get('gc', 0):>6.1f} fwait {d.get('fetch_wait', 0):>5.1f} "
               f"swrite {d.get('write_time', 0):>5.1f} rd "
               f"{d.get('read_mb', 0):>7.0f}MB wr {d.get('write_mb', 0):>7.0f}MB "
-              f"spill {d.get('spill_bytes', 0) >> 20}MB  {s['name'][:40]}")
+              f"spill {d.get('spill_bytes', 0) >> 20}MB pre "
+              f"{s.get('pre_s', 0):>5.2f} span {s.get('task_span_s', 0):>6.2f}"
+              f"  {s['name'][:36]}")
     return out
 
 

@@ -1,0 +1,98 @@
+"""In-JVM alternating A/B: host column computed EARLY (at canon time,
+before the dedup exchange) vs LATE (after dedup + seen anti-join).
+
+Late keeps ~18B/row of host strings out of the job's largest shuffle
+(32M rows) and runs the host regex on only the surviving ~2/3 of rows;
+shuffle bytes are this box's non-scaling resource (exp_eventlog_sched:
+per-task CPU inflates 1.2-4x at 16 cores from DRAM contention, zero
+driver gaps). Alternating reps in one JVM cancel host-speed drift.
+
+    taskset -c 0-15 python scripts/exp_host_late.py --cpus 16
+    taskset -c 0-3  python scripts/exp_host_late.py --cpus 4
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--n", type=int, default=32_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import bench
+    from crawler_service_spark.functions.urls import canonicalize_frame, host_native
+    from crawler_service_spark.operators.dedup import (
+        anti_join_seen, first_occurrence, with_key_hash)
+    from crawler_service_spark.operators.politeness import presalt, schedule_round
+
+    spark = bench.build_spark(args.cpus, "exp-host-late")
+    spark.sparkContext.setLogLevel("ERROR")
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+    rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
+    n = args.n
+
+    def pipeline(src, seen_df, n_rows, host_stage):
+        b = canonicalize_frame(src, "url")
+        if host_stage == "early":
+            b = b.withColumn("host", host_native(F.col("url")))
+        b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
+                             keep_hash=True, strategy=bench.DEDUP_STRATEGY)
+        b = anti_join_seen(b, seen_df, ["canon_url"],
+                           shuffle_hash=True, hash_key=True)
+        if host_stage == "late":
+            b = b.withColumn("host", host_native(F.col("url")))
+        salt_width = max(1 << 14, n_rows // 64)
+        b = bench.snapshot_bucket_sorted(
+            spark, presalt(b, salt_width), "ab_round",
+            rank_parts, ["host", "_salt"],
+            ["host", "depth", "_salt", "discovery_seq"])
+        admitted, _ = schedule_round(
+            b, None, default_limit=10, default_window_s=60,
+            round_epoch=0.0, priority_col="depth",
+            rank_strategy="presalted")
+        bench.force(admitted)
+
+    frontier = bench.synth_frontier(spark, n, 10_000).persist()
+    frontier.count()
+    seen = canonicalize_frame(
+        bench.synth_frontier(spark, n, 10_000)
+        .filter(F.col("discovery_seq") % 3 == 0), "url").select("canon_url")
+    seen = with_key_hash(seen, ["canon_url"])
+    seen = seen.repartition(parts, "_kh", "canon_url").persist()
+    seen.count()
+
+    wn = max(100_000, n // 40)
+    for stage in ("early", "late"):
+        pipeline(bench.synth_frontier(spark, wn, 10_000), seen, wn, stage)
+    bench.settle(spark)
+
+    res = {"early": [], "late": []}
+    for i in range(args.reps):
+        for stage in ("early", "late"):
+            t0 = time.monotonic()
+            pipeline(frontier, seen, n, stage)
+            dt = time.monotonic() - t0
+            res[stage].append(round(dt, 2))
+            print(f"rep {i} {stage}: {dt:.2f}s", file=sys.stderr, flush=True)
+            bench.settle(spark)
+    out = {"cpus": args.cpus, "n": n, **res,
+           "best_early": min(res["early"]), "best_late": min(res["late"]),
+           "pairwise_late_over_early": [
+               round(l / e, 3) for e, l in zip(res["early"], res["late"])]}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
