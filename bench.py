@@ -154,9 +154,14 @@ SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "bucketsort")
 
 # where the frontier jobs compute the host column: "early" (at canon
 # time, before the dedup exchange) or "late" (after dedup + seen
-# anti-join, before the layout exchange that needs it) — see
-# scripts/exp_host_late.py for the A/B
-HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "early")
+# anti-join, before the layout exchange that needs it). Default "late":
+# host is a pure function of the URL, and computing it after the dedup
+# exchange keeps ~18B/row of host strings out of the job's biggest
+# shuffle and only extracts hosts for surviving rows — in-JVM
+# alternating A/B (scripts/exp_host_late.py, 32M rows): late/early
+# median 0.91 over 8 pairs at c16 vs 0.96 at c4, i.e. it helps most
+# exactly where shuffle bandwidth is the contended resource
+HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "late")
 
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:

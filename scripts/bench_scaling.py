@@ -242,7 +242,7 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
-WORKLOAD_REV = 6     # bump when the measured work graph changes (r3:
+WORKLOAD_REV = 7     # bump when the measured work graph changes (r3:
                      # window-strategy frontier dedup; r4: bucket-sorted
                      # snapshot + presalted rank, pre-join-aligned fetch
                      # join, level-independent input partitioning; r5:
@@ -250,8 +250,11 @@ WORKLOAD_REV = 6     # bump when the measured work graph changes (r3:
                      # 256-bucket granularity only bought scheduling
                      # latency; r6: depth-major in-bucket sort + the
                      # deferral-composable rank join on (host, depth,
-                     # _salt), provenance-checked _kh) — stats pool only
-                     # same-rev runs; cross-rev medians would mix
+                     # _salt), provenance-checked _kh; r7: rank bucket
+                     # counts from a plain column-pruned scan instead of
+                     # the one-task-per-bucket bucketed scan, host column
+                     # computed after the dedup exchange) — stats pool
+                     # only same-rev runs; cross-rev medians would mix
                      # different engines
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
 STEAL_MAX = 1.5      # % hypervisor steal during the run — above this the
@@ -291,8 +294,10 @@ def stats_for(history: list[dict], job: str, cpus: int, n_urls: int) -> dict | N
     k = len(runs)
     med = runs[k // 2] if k % 2 else (runs[k // 2 - 1] + runs[k // 2]) / 2
     q1, q3 = runs[k // 4], runs[(3 * k) // 4 if (3 * k) // 4 < k else k - 1]
+    mean = sum(runs) / k
+    sd = (sum((x - mean) ** 2 for x in runs) / (k - 1)) ** 0.5 if k > 1 else 0.0
     return {"n": k, "median": round(med, 1), "iqr": (round(q1, 1), round(q3, 1)),
-            "best": round(runs[-1], 1)}
+            "best": round(runs[-1], 1), "cv_pct": round(100 * sd / mean, 1)}
 
 
 PAIR_PROBE_TOL = 0.08   # max relative probe_sec mismatch within a pair
@@ -411,10 +416,10 @@ input and shuffle partitioning (64) at both levels; JVM pinned to
 exactly N cores via taskset. Median across pinned runs (IQR and best
 disclosed).
 
-| parallelism | median {JOB_LABEL[job]} | IQR | best | runs |
-|---|---|---|---|---|
-| local[{args.low}] | {lo['median']:,.0f} | {lo['iqr'][0]:,.0f}–{lo['iqr'][1]:,.0f} | {lo['best']:,.0f} | {lo['n']} |
-| local[{args.high}] | {hi['median']:,.0f} | {hi['iqr'][0]:,.0f}–{hi['iqr'][1]:,.0f} | {hi['best']:,.0f} | {hi['n']} |
+| parallelism | median {JOB_LABEL[job]} | IQR | best | CV | runs |
+|---|---|---|---|---|---|
+| local[{args.low}] | {lo['median']:,.0f} | {lo['iqr'][0]:,.0f}–{lo['iqr'][1]:,.0f} | {lo['best']:,.0f} | {lo.get('cv_pct', 0):.1f}% | {lo['n']} |
+| local[{args.high}] | {hi['median']:,.0f} | {hi['iqr'][0]:,.0f}–{hi['iqr'][1]:,.0f} | {hi['best']:,.0f} | {hi.get('cv_pct', 0):.1f}% | {hi['n']} |
 
 **Median speedup {args.low}→{args.high} cores (4× cores): {speedup:.2f}× —
 scaling efficiency {eff:.3f}** (best-vs-best: {best_speedup:.2f}×, {best_eff:.3f})
