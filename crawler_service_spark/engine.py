@@ -40,6 +40,7 @@ from crawler_service_spark.config import CrawlConfig
 from crawler_service_spark.functions.classify import resolve_fetch_outcome
 from crawler_service_spark.functions.urls import (
     canonicalize_frame,
+    host_frame,
     make_canon_udf,
     url_parts_udf,
 )
@@ -373,6 +374,14 @@ class CrawlEngine:
                 cand = filter_internal(cand, cfg)
                 if cfg.respect_robots:
                     cand = filter_robots(cand, self.policy)
+                # host and path are pure functions of the URL: drop them
+                # before the dedup + anti-join + dense-seq exchanges
+                # (host is recomputed below by `host_frame`, byte-equal
+                # to the filter's value) so the round's biggest shuffles
+                # move ~40B/row less — the schedule-core A/B measured
+                # post-dedup host extraction worth ~9% at 16 cores
+                # (scripts/exp_host_late.py)
+                cand = cand.drop("host", "path")
                 # single-scan strategy: cand is computed lineage
                 # (explode→filter); the union strategy would re-execute
                 # it once per branch
@@ -411,6 +420,9 @@ class CrawlEngine:
                 ).withColumn(
                     "discovery_seq", F.col("discovery_seq") + F.lit(seq_base)
                 )
+                # recompute host only for rows that survived dedup +
+                # seen filtering (deferred rows below kept theirs)
+                cand = host_frame(cand, "url")
                 frontier_parts.append(cand.select(FRONTIER_COLS))
             if deferral:
                 frontier_parts.append(deferred.select(FRONTIER_COLS))

@@ -151,6 +151,29 @@ def host_native(url_col):
     return F.lower(F.regexp_replace(netloc, r":\d+$", ""))
 
 
+def host_frame(df, url_col: str = "url", out_col: str = "host"):
+    """P2 as a hybrid single-scan projection: the exact host the link
+    filter computes (`operators/links.py` fast path
+    ``lower(substring_index(netloc, ':', 1))``; slow path
+    ``url_parts_udf(...).host`` — `_parts_row` lowercases the netloc and
+    takes the text before the first ':', so the two branches agree and
+    the dispatch on `native_canon_eligible` preserves byte equality).
+
+    Exists so the engine can compute ``host`` AFTER the link-dedup and
+    seen-anti-join exchanges instead of carrying ~18B/row of host
+    strings through them (host is a pure function of the URL; see
+    scripts/exp_host_late.py). The UDF input is nulled for eligible
+    rows (the `canonicalize_frame(single_scan=True)` pattern) so Python
+    sees mostly nulls."""
+    eligible = native_canon_eligible(F.col(url_col))
+    netloc = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+    )
+    fast = F.lower(F.substring_index(netloc, ":", 1))
+    slow = url_parts_udf(F.when(~eligible, F.col(url_col)))["host"]
+    return df.withColumn(out_col, F.when(eligible, fast).otherwise(slow))
+
+
 def native_canon_eligible(url_col):
     """True where the JVM-native canonicalizer is provably byte-identical
     to the `urllib.parse` UDF: printable-ASCII URL with a scheme, no

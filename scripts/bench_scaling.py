@@ -486,8 +486,8 @@ history.json). With the box verified idle, the engine's stages measure:
 | canon→dedup→anti-join core, 32M URLs, window dedup (shipped) | 116.6 s | 34.4 s | 3.39× | **0.85** |
 | core→bucket-sorted snapshot (round job p1), 6M URLs, warm | 26.4 s | 8.0 s | 3.32× | **0.83** |
 
-Three physical-shape decisions moved the end-to-end jobs from
-eff ≈0.5–0.6 (round 1) to ≥0.8, each measured with in-JVM alternating
+Five physical-shape decisions moved the end-to-end jobs from
+eff ≈0.5–0.6 (round 1) upward, each measured with in-JVM alternating
 A/Bs (host drift cancels pair-wise):
 
 1. **Window-strategy dedup** for the unique-heavy frontier: the agg's
@@ -508,6 +508,21 @@ A/Bs (host drift cancels pair-wise):
    joined html-bearing rows) removes a full exchange of page bytes —
    9–13% of the fetch+extract phase at c16, neutral at c4
    (scripts/exp_fetch_join.py).
+4. **Rank bucket counts from a plain scan** (rev 7): the presalted
+   rank's per-(host, priority, salt) count aggregate over the BUCKETED
+   snapshot scan plans exchange-free but runs one task per bucket with
+   ~100-400 ms reader setup each — a flat ~1.8 s stage at EVERY core
+   count (scripts/exp_eventlog_sched.py). Aggregating the same files
+   via a plain column-pruned parquet read coalesces the scan; the tiny
+   re-introduced exchange is ~MBs. Cluster analog: Iceberg metadata
+   tables serve bucket counts without touching data files.
+5. **Post-dedup host extraction** (rev 7): host is a pure function of
+   the URL, so computing it AFTER the dedup exchange + seen anti-join
+   keeps ~18B/row of host strings out of the job's largest shuffle and
+   only runs the extraction regex on surviving rows — late/early
+   median 0.91 over 8 in-JVM pairs at c16 vs 0.96 at c4
+   (scripts/exp_host_late.py): it pays most exactly where shuffle
+   bandwidth is the contended resource.
 
 The lesson generalizes to the 100 TB cluster: these are exactly the
 layout decisions an Iceberg frontier table (bucket-sorted on
