@@ -382,17 +382,18 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             # driver stats barrier (rank_presalted); "bucketsort" also
             # pre-repartitions and sorts in-bucket so the rank is
             # additionally sort-free over one file per bucket
-            counts_src = None
+            # rank counts come from the bucketed scan itself: the 2x2
+            # matrix A/B (scripts/exp_sched_matrix.py) measured the
+            # plain-parquet counts_src alternative SLOWER end-to-end at
+            # both levels (c4 median 110.7 vs 115.4 s, c16 31.7 vs
+            # 32.4 s) — the re-scan + tiny exchange costs what the
+            # per-bucket reader setup costs, so keep the simpler
+            # exchange-free plan
             if SNAPSHOT_LAYOUT == "bucketsort":
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "sched_round",
                     rank_parts, ["host", "_salt"],
                     ["host", "depth", "_salt", "discovery_seq"])
-                # plain column-pruned scan of the same files for the
-                # rank's bucket counts: the bucketed scan pays ~100-400ms
-                # of reader setup per one-task-per-bucket, flat across
-                # core counts (see rank_presalted docstring)
-                counts_src = spark.read.parquet(f"{SNAP_DIR}/sched_round")
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "sched_round", rank_parts,
@@ -400,7 +401,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             admitted, _ = schedule_round(
                 b, None, default_limit=10, default_window_s=60,
                 round_epoch=0.0, priority_col="depth",
-                rank_strategy="presalted", counts_src=counts_src,
+                rank_strategy="presalted",
             )
         else:
             # round snapshot: tmpfs parquet (see `snapshot`) — the
@@ -502,20 +503,20 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         # balance unhurt (64 salts/host still spread over all buckets)
         salt_width = max(1 << 14, n_rows // 64)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
-            counts_src = None
+            # counts from the bucketed scan — the plain counts_src
+            # alternative measured slower at both levels (see the
+            # schedule job above / scripts/exp_sched_matrix.py)
             if SNAPSHOT_LAYOUT == "bucketsort":
                 b = snapshot_bucket_sorted(
                     spark, presalt(b, salt_width), "round_batch",
                     rank_parts, ["host", "_salt"],
                     ["host", "depth", "_salt", "discovery_seq"])
-                counts_src = spark.read.parquet(f"{SNAP_DIR}/round_batch")
             else:
                 b = snapshot_bucketed(spark, presalt(b, salt_width),
                                       "round_batch", rank_parts,
                                       ["host", "_salt"])
             admitted, _ = schedule_round(
                 b, None, priority_col="depth", rank_strategy="presalted",
-                counts_src=counts_src,
             )
         else:
             # round snapshot: tmpfs parquet (see `snapshot`)

@@ -278,14 +278,13 @@ class CrawlEngine:
                 # over a bucket-sorted frontier snapshot the rank plans
                 # with no payload exchange/sort/driver barrier
                 rank_strategy="presalted" if self._use_layout else None,
-                # bucket counts from a plain column-pruned scan of the
-                # same snapshot files: a bucketed scan would run one
-                # fixed-overhead task per bucket (flat across core
-                # counts — see rank_presalted docstring)
-                counts_src=(
-                    self.storage.read_table(self.spark, "frontier", rnd)
-                    if self._use_layout else None
-                ),
+                # rank counts come from the bucketed frontier scan
+                # itself (counts_src=None): serving them from a plain
+                # column-pruned re-read of the same files was A/B'd and
+                # measured SLOWER end-to-end at both parallelism levels
+                # (scripts/exp_sched_matrix.py) — the re-scan + small
+                # aggregate exchange costs what the per-bucket reader
+                # setup costs, so keep the exchange-free plan
             )
             admitted = admitted.drop("_salt")
 

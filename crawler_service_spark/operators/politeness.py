@@ -253,16 +253,17 @@ def rank_presalted(
     the salt buckets are contiguous seq ranges.
 
     ``counts_src`` (optional): an alternative DataFrame holding the SAME
-    rows to aggregate the bucket counts from. A bucketed-table scan
-    plans the count aggregate exchange-free but runs exactly one task
-    per bucket, and each bucketed-scan task carries ~100-400 ms of
-    reader setup that does not shrink with cores — measured as a FLAT
-    ~1.8 s stage at both 4 and 16 cores (scripts/exp_eventlog_sched.py).
-    Passing the same snapshot as a plain parquet read lets the scan
-    coalesce to a handful of column-pruned tasks; the tiny (~MBs)
-    aggregate exchange it re-introduces is far cheaper than the
-    per-task overhead it removes. The cluster analog: Iceberg metadata
-    tables serve these bucket counts without touching data files at all.
+    rows to aggregate the bucket counts from — e.g. the snapshot files
+    as a plain column-pruned parquet read instead of the bucketed scan.
+    Event-log stage attribution suggested the bucketed counts scan pays
+    a flat per-bucket reader setup (~1.8 s at every core count,
+    scripts/exp_eventlog_sched.py), but the assembled-pipeline 2x2 A/B
+    (scripts/exp_sched_matrix.py) measured the plain-scan alternative
+    SLOWER end-to-end at both 4 and 16 cores (the re-scan + aggregate
+    exchange ≈ the setup it removes), so callers default to None. The
+    parameter stays for the cluster analog where it genuinely wins:
+    Iceberg metadata tables serve these bucket counts without touching
+    data files at all.
     """
     counts = (counts_src if counts_src is not None else b).groupBy(
         "host", priority_col, "_salt"

@@ -242,7 +242,7 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
-WORKLOAD_REV = 7     # bump when the measured work graph changes (r3:
+WORKLOAD_REV = 8     # bump when the measured work graph changes (r3:
                      # window-strategy frontier dedup; r4: bucket-sorted
                      # snapshot + presalted rank, pre-join-aligned fetch
                      # join, level-independent input partitioning; r5:
@@ -250,12 +250,12 @@ WORKLOAD_REV = 7     # bump when the measured work graph changes (r3:
                      # 256-bucket granularity only bought scheduling
                      # latency; r6: depth-major in-bucket sort + the
                      # deferral-composable rank join on (host, depth,
-                     # _salt), provenance-checked _kh; r7: rank bucket
-                     # counts from a plain column-pruned scan instead of
-                     # the one-task-per-bucket bucketed scan, host column
-                     # computed after the dedup exchange) — stats pool
-                     # only same-rev runs; cross-rev medians would mix
-                     # different engines
+                     # _salt), provenance-checked _kh; r7: plain-scan
+                     # rank counts + post-dedup host — the counts half
+                     # measured slower in the assembled pipeline; r8:
+                     # host stays late, counts back to the bucketed
+                     # scan) — stats pool only same-rev runs; cross-rev
+                     # medians would mix different engines
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
 STEAL_MAX = 1.5      # % hypervisor steal during the run — above this the
                      # co-tenant, not the engine, set the wall time
@@ -508,21 +508,25 @@ A/Bs (host drift cancels pair-wise):
    joined html-bearing rows) removes a full exchange of page bytes —
    9–13% of the fetch+extract phase at c16, neutral at c4
    (scripts/exp_fetch_join.py).
-4. **Rank bucket counts from a plain scan** (rev 7): the presalted
-   rank's per-(host, priority, salt) count aggregate over the BUCKETED
-   snapshot scan plans exchange-free but runs one task per bucket with
-   ~100-400 ms reader setup each — a flat ~1.8 s stage at EVERY core
-   count (scripts/exp_eventlog_sched.py). Aggregating the same files
-   via a plain column-pruned parquet read coalesces the scan; the tiny
-   re-introduced exchange is ~MBs. Cluster analog: Iceberg metadata
-   tables serve bucket counts without touching data files.
-5. **Post-dedup host extraction** (rev 7): host is a pure function of
+4. **Post-dedup host extraction** (rev 7): host is a pure function of
    the URL, so computing it AFTER the dedup exchange + seen anti-join
    keeps ~18B/row of host strings out of the job's largest shuffle and
    only runs the extraction regex on surviving rows — late/early
    median 0.91 over 8 in-JVM pairs at c16 vs 0.96 at c4
-   (scripts/exp_host_late.py): it pays most exactly where shuffle
-   bandwidth is the contended resource.
+   (scripts/exp_host_late.py), confirmed by the 2×2 matrix
+   (exp_sched_matrix.py): it pays most exactly where shuffle
+   bandwidth is the contended resource. The engine's crawl loop ships
+   the same shape (engine.py drops host+path before the expansion
+   dedup and recomputes via the hybrid `host_frame`).
+5. **A documented negative** (rev 8): serving the rank's bucket counts
+   from a plain column-pruned re-read of the snapshot (instead of the
+   one-task-per-bucket bucketed scan) looked attractive from event-log
+   stage attribution but measured SLOWER end-to-end at BOTH levels in
+   the in-JVM 2×2 matrix (c4 median 110.7 s bucketed vs 115.4 s plain;
+   c16 31.7 vs 32.4 — exp_sched_matrix.py). The re-scan + aggregate
+   exchange costs what the per-bucket reader setup costs; the
+   exchange-free bucketed plan stays. Isolated-stage attribution
+   proposes, assembled-pipeline A/B disposes.
 
 The lesson generalizes to the 100 TB cluster: these are exactly the
 layout decisions an Iceberg frontier table (bucket-sorted on

@@ -66,11 +66,10 @@ def run(cpus: int, n: int, n_hosts: int = 10_000) -> str:
             spark, presalt(b, salt_width), "sched_round",
             rank_parts, ["host", "_salt"],
             ["host", "depth", "_salt", "discovery_seq"])
-        counts_src = spark.read.parquet(f"{bench.SNAP_DIR}/sched_round")
         admitted, _ = schedule_round(
             b, None, default_limit=10, default_window_s=60,
             round_epoch=0.0, priority_col="depth",
-            rank_strategy="presalted", counts_src=counts_src)
+            rank_strategy="presalted")
         bench.force(admitted)
         return b
 
