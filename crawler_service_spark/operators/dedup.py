@@ -244,10 +244,23 @@ class ShardedBloomFilter:
         self.fitted = False
 
     # -- internal ----------------------------------------------------------
+    def _position_exprs(self, key_col):
+        """All ``num_hashes`` bit positions from TWO xxhash64 evaluations
+        (Kirsch–Mitzenmacher double hashing, ``g_i = a + i*b mod m``) —
+        r03 VERDICT item 3: the previous per-position ``xxhash64(key, i)``
+        family paid one full hash of the key string per position, the
+        dominant build cost at scale. ``b`` is forced odd so the step is
+        coprime with the power-of-two-mostly word space; both operands
+        are reduced mod m before the add so the arithmetic never
+        overflows a long under ANSI mode."""
+        m = F.lit(self.bits_per_shard)
+        a = F.pmod(F.xxhash64(key_col, F.lit(1)), m)
+        b = F.pmod(F.xxhash64(key_col, F.lit(2)).bitwiseOR(F.lit(1)), m)
+        return [F.pmod(a + F.lit(i) * b, m) for i in range(self.num_hashes)]
+
     def _with_positions(self, df: DataFrame, key: str) -> DataFrame:
-        cols = [F.pmod(F.xxhash64("_sb_shard", F.col(key), F.lit(i)),
-                       F.lit(self.bits_per_shard)).alias(f"_sb_p{i}")
-                for i in range(self.num_hashes)]
+        cols = [p.alias(f"_sb_p{i}")
+                for i, p in enumerate(self._position_exprs(F.col(key)))]
         return df.withColumn(
             "_sb_shard", F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_shards))
         ).select("_sb_shard", *cols)
@@ -311,20 +324,22 @@ class ShardedBloomFilter:
         probed = batch.withColumn(
             "_sb_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_shards))
         )
+        for i, p in enumerate(self._position_exprs(F.col(key_col))):
+            probed = (probed.withColumn(f"_sb_p{i}", p)
+                      .withColumn(f"_sb_w{i}", F.shiftrightunsigned(f"_sb_p{i}", 6)))
         for i in range(nh):
-            probed = probed.withColumn(
-                f"_sb_p{i}",
-                F.pmod(F.xxhash64("_sb_shard", F.col(key_col), F.lit(i)),
-                       F.lit(self.bits_per_shard)),
-            ).withColumn(f"_sb_w{i}", F.shiftrightunsigned(f"_sb_p{i}", 6))
-        for i in range(nh):
-            wi = self.words.select(
-                F.col("shard").alias("_sb_shard"),
-                F.col("widx").alias(f"_sb_w{i}"),
-                F.col("word").alias(f"_sb_word{i}"),
-            )
+            # every probe joins the SAME (shard, widx, word) projection —
+            # renaming per-join used to defeat exchange reuse and pay
+            # num_hashes broadcast builds; with an identical build side
+            # Catalyst plans one BroadcastExchange + (nh-1) ReusedExchange
+            wi = self.words.alias(f"_sb_words{i}")
             probed = probed.join(
-                F.broadcast(wi), ["_sb_shard", f"_sb_w{i}"], "left")
+                F.broadcast(wi),
+                (probed["_sb_shard"] == wi["shard"])
+                & (probed[f"_sb_w{i}"] == wi["widx"]),
+                "left",
+            ).drop(wi["shard"]).drop(wi["widx"]) \
+             .withColumnRenamed("word", f"_sb_word{i}")
         bit_tests = [
             F.coalesce(
                 F.expr(
