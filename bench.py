@@ -162,6 +162,19 @@ SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "bucketsort")
 # median 0.91 over 8 pairs at c16 vs 0.96 at c4, i.e. it helps most
 # exactly where shuffle bandwidth is the contended resource
 HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "late")
+if HOST_STAGE not in ("early", "late"):
+    # a typo'd value would silently skip host extraction in BOTH branches
+    # and fail much later with an opaque unresolved-column error at
+    # presalt/snapshot time (ADVICE r03)
+    raise ValueError(
+        f"SPARK_GRAFT_HOST_STAGE must be 'early' or 'late', got {HOST_STAGE!r}")
+
+# presalt width denominator: salt_width = max(2^14, n_rows // DENOM), so
+# DENOM bounds the salts-per-host the rank's offsets frame can carry
+# (offsets rows = hosts x n/salt_width). 64 won the pinned c4/c16 A/B at
+# 32M rows (exp_rank_variants2); env-gated so the driver's unpinned
+# local[32]/2M shape can A/B it too (r03 VERDICT item 2).
+SALT_DENOM = int(os.environ.get("SPARK_GRAFT_SALT_DENOM", "64"))
 
 
 def snapshot(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -197,25 +210,38 @@ def snapshot_bucketed(spark: SparkSession, df: DataFrame, name: str,
     return spark.table(name)
 
 
-def bucketize_files(path: str) -> None:
+def bucketize_files(path: str, buckets: int) -> None:
     """Stamp plain-write part files with the bucket-id suffix Spark's
     bucketed scan parses from filenames. Valid because the write was
     pre-repartitioned on the bucket columns with the bucket count —
     repartition's HashPartitioning and bucketBy's bucket id share the
     same Murmur3 pmod, so partition i IS bucket i. Cluster analog:
     Iceberg's bucket-transform metadata names the bucket in table
-    metadata rather than the filename."""
+    metadata rather than the filename. Raises unless every data file
+    matched and bucket ids are unique and < ``buckets`` (r03 VERDICT
+    item 4; same invariants as SnapshotStore._bucketize_files)."""
     pat = re.compile(r"^part-(\d{5})-([0-9a-f\-]+)-c000(\..*)?\.parquet$")
+    seen_ids: set[int] = set()
     for f in os.listdir(path):
         m = pat.match(f)
         if m:
+            bid = int(m.group(1))
+            if bid >= buckets or bid in seen_ids:
+                raise ValueError(
+                    f"bucketize: part file {f!r} violates the "
+                    f"one-file-per-bucket layout (id {bid}, count {buckets})")
+            seen_ids.add(bid)
             ext = m.group(3) or ""
             os.rename(
                 os.path.join(path, f),
                 os.path.join(path, f"part-{m.group(1)}-{m.group(2)}"
-                                   f"_{int(m.group(1)):05d}.c000{ext}.parquet"))
+                                   f"_{bid:05d}.c000{ext}.parquet"))
         elif f.endswith(".crc"):   # orphaned RawLocalFileSystem checksums
             os.remove(os.path.join(path, f))
+        elif f.endswith(".parquet"):
+            raise ValueError(
+                f"bucketize: data file {f!r} does not match the expected "
+                f"part-file naming — a bucketed scan would silently skip it")
 
 
 def snapshot_bucket_sorted(spark: SparkSession, df: DataFrame, name: str,
@@ -237,12 +263,26 @@ def snapshot_bucket_sorted(spark: SparkSession, df: DataFrame, name: str,
     29.2→20.4 s, c16 8.2→6.2 s on the 21M-row snapshot,
     scripts/exp_rank_variants2.py): saveAsTable's bucketed write path
     re-sorts by (bucketId, sort_cols…) through a second sorter pass and
-    pays catalog round-trips inside the timed region."""
+    pays catalog round-trips inside the timed region.
+    ``SPARK_GRAFT_BUCKETSORT_WRITE=saveAsTable`` selects the native
+    bucketed write instead (A/B lever, r03 VERDICT item 2)."""
     path = f"{SNAP_DIR}/{name}"
+    write_mode = os.environ.get("SPARK_GRAFT_BUCKETSORT_WRITE", "rename")
+    if write_mode == "saveAsTable":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.repartition(buckets, *[F.col(c) for c in cols])
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(buckets, *cols).sortBy(*sort_cols)
+         .option("path", path).saveAsTable(name))
+        return spark.table(name)
+    if write_mode != "rename":
+        raise ValueError(
+            f"SPARK_GRAFT_BUCKETSORT_WRITE must be 'rename' or "
+            f"'saveAsTable', got {write_mode!r}")
     (df.repartition(buckets, *[F.col(c) for c in cols])
      .sortWithinPartitions(*sort_cols)
      .write.mode("overwrite").parquet(path))
-    bucketize_files(path)
+    bucketize_files(path, buckets)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE TABLE {name} ({df.schema.toDDL()}) USING parquet "
@@ -375,7 +415,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         # hosts x (n/width) rows — 4x smaller here, measured rank c4
         # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
         # balance unhurt (64 salts/host still spread over all buckets)
-        salt_width = max(1 << 14, n_rows // 64)
+        salt_width = max(1 << 14, n_rows // SALT_DENOM)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
             # snapshot layout IS the scheduling layout: written bucketed
             # on (host, _salt), so the rank needs no exchange and no
@@ -501,7 +541,7 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
         # hosts x (n/width) rows — 4x smaller here, measured rank c4
         # 8.05->6.14 s / c16 3.75->3.14 s (exp_rank_variants2); write
         # balance unhurt (64 salts/host still spread over all buckets)
-        salt_width = max(1 << 14, n_rows // 64)
+        salt_width = max(1 << 14, n_rows // SALT_DENOM)
         if SNAPSHOT_LAYOUT in ("bucketed", "bucketsort"):
             # counts from the bucketed scan — the plain counts_src
             # alternative measured slower at both levels (see the

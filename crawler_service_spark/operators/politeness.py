@@ -263,7 +263,9 @@ def rank_presalted(
     exchange ≈ the setup it removes), so callers default to None. The
     parameter stays for the cluster analog where it genuinely wins:
     Iceberg metadata tables serve these bucket counts without touching
-    data files at all.
+    data files at all. A counts_src whose rows DON'T cover ``b`` fails
+    loudly (left join + raise on a missing bucket) instead of silently
+    dropping the uncovered admitted rows (ADVICE r03).
     """
     counts = (counts_src if counts_src is not None else b).groupBy(
         "host", priority_col, "_salt"
@@ -277,14 +279,30 @@ def rank_presalted(
     )
     w_local = Window.partitionBy("host", priority_col, "_salt").orderBy(
         "discovery_seq")
-    return (
-        b.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["host", priority_col, "_salt"])
-        .withColumn(
-            "host_rank", (F.col("_lrn") + F.col("_off")).cast("long"),
+    ranked = b.withColumn("_lrn", F.row_number().over(w_local))
+    if counts_src is None:
+        # counts derive from b itself: every bucket is covered by
+        # construction, the inner equi-join is free of the guard branch
+        ranked = ranked.join(
+            F.broadcast(offsets), ["host", priority_col, "_salt"]
+        ).withColumn("host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
+    else:
+        # external counts: a bucket present in b but missing from
+        # counts_src means the caller broke the SAME-rows contract —
+        # raise in-plan rather than silently dropping those rows
+        ranked = ranked.join(
+            F.broadcast(offsets), ["host", priority_col, "_salt"], "left"
+        ).withColumn(
+            "host_rank",
+            F.when(F.col("_off").isNotNull(),
+                   F.col("_lrn") + F.col("_off"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("rank_presalted: counts_src is missing bucket (host="),
+                F.col("host"), F.lit(", salt="), F.col("_salt"),
+                F.lit(") present in b — counts_src must hold the SAME rows"),
+            ))).cast("long"),
         )
-        .select(*b.columns, "host_rank")
-    )
+    return ranked.select(*b.columns, "host_rank")
 
 
 def schedule_round(

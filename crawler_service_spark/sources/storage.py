@@ -73,26 +73,50 @@ class SnapshotStore:
         return f"snap_{h}_{table}_{rnd:06d}"
 
     @staticmethod
-    def _bucketize_files(path: str) -> None:
+    def _bucketize_files(path: str, buckets: int) -> None:
         """Stamp plain-write part files with the bucket-id filename
         suffix Spark's bucketed scan parses. Valid because the write was
         pre-repartitioned on the bucket columns with the bucket count —
         repartition's HashPartitioning and bucketBy's bucket id share
         the same Murmur3 pmod, so partition i IS bucket i. Cluster
         analog: Iceberg's bucket transform names the bucket in table
-        metadata rather than the filename."""
+        metadata rather than the filename.
+
+        Raises ``ValueError`` unless EVERY data file matched the
+        expected part-file naming and the derived bucket ids are unique
+        and < ``buckets`` — a format drift or stray file would
+        otherwise make the declared bucketed scan silently misgroup
+        rows (r03 VERDICT item 4)."""
         pat = re.compile(r"^part-(\d{5})-([0-9a-f\-]+)-c000(\..*)?\.parquet$")
+        seen_ids: set[int] = set()
         for f in os.listdir(path):
             m = pat.match(f)
             if m:
+                bid = int(m.group(1))
+                if bid >= buckets:
+                    raise ValueError(
+                        f"bucketize: part file {f!r} implies bucket id "
+                        f"{bid} >= bucket count {buckets} — the write was "
+                        f"not repartitioned to the declared bucket count")
+                if bid in seen_ids:
+                    raise ValueError(
+                        f"bucketize: duplicate bucket id {bid} in {path} "
+                        f"— more than one file per partition breaks the "
+                        f"one-file-per-bucket layout contract")
+                seen_ids.add(bid)
                 ext = m.group(3) or ""
                 os.rename(
                     os.path.join(path, f),
                     os.path.join(
                         path, f"part-{m.group(1)}-{m.group(2)}"
-                              f"_{int(m.group(1)):05d}.c000{ext}.parquet"))
+                              f"_{bid:05d}.c000{ext}.parquet"))
             elif f.endswith(".crc"):  # orphaned local-FS checksums
                 os.remove(os.path.join(path, f))
+            elif f.endswith(".parquet"):
+                raise ValueError(
+                    f"bucketize: data file {f!r} does not match the "
+                    f"expected part-file naming — refusing to register "
+                    f"a bucketed scan that would silently skip it")
 
     def write_table_bucketed(
         self, df: DataFrame, table: str, rnd: int,
@@ -123,7 +147,7 @@ class SnapshotStore:
         (df.repartition(buckets, *[F.col(c) for c in cols])
          .sortWithinPartitions(*sort_cols)
          .write.mode("overwrite").parquet(path))
-        self._bucketize_files(path)
+        self._bucketize_files(path, buckets)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(
             f"CREATE TABLE {name} ({df.schema.toDDL()}) USING parquet "

@@ -77,3 +77,50 @@ def test_layout_resume_reregisters_catalog(spark, tmp_path):
     got = {tuple(r) for r in fetch_order(resumed.pages)
            .select("task_id", "canon_url", "fetch_seq").collect()}
     assert got == want
+
+
+def test_bucketize_rejects_poisoned_and_duplicate_files(tmp_path):
+    """The rename-register layout's invariants fail LOUDLY (r03 VERDICT
+    item 4): a data file that doesn't match Spark's part-file naming, a
+    bucket id >= the declared count, or two files for one bucket would
+    each make the registered bucketed scan silently misgroup/skip rows."""
+    import pytest
+
+    from crawler_service_spark.sources.storage import SnapshotStore
+
+    uuid = "0123abcd-89ab-cdef-0123-456789abcdef"
+
+    def mk(files):
+        d = tmp_path / f"case{mk.n}"
+        mk.n += 1
+        d.mkdir()
+        for f in files:
+            (d / f).write_bytes(b"x")
+        return str(d)
+    mk.n = 0
+
+    # clean case: all files match, ids unique and < count
+    ok = mk([f"part-{i:05d}-{uuid}-c000.lz4.parquet" for i in range(4)]
+            + ["_SUCCESS"])
+    SnapshotStore._bucketize_files(ok, 4)
+    import os
+    assert sorted(os.listdir(ok)) == sorted(
+        [f"part-{i:05d}-{uuid}_{i:05d}.c000.lz4.parquet" for i in range(4)]
+        + ["_SUCCESS"])
+
+    # poisoned: a stray .parquet that matches nothing
+    with pytest.raises(ValueError, match="does not match"):
+        SnapshotStore._bucketize_files(
+            mk([f"part-00000-{uuid}-c000.parquet", "extra.parquet"]), 4)
+
+    # bucket id beyond the declared count
+    with pytest.raises(ValueError, match="bucket id 7"):
+        SnapshotStore._bucketize_files(
+            mk([f"part-00007-{uuid}-c000.parquet"]), 4)
+
+    # two files for one bucket (e.g. a speculative-retry leftover)
+    with pytest.raises(ValueError, match="duplicate"):
+        SnapshotStore._bucketize_files(
+            mk([f"part-00001-{uuid}-c000.parquet",
+                f"part-00001-{uuid.replace('0123a', 'ffffa')}-c000.parquet"]),
+            4)

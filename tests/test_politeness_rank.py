@@ -164,3 +164,19 @@ def test_presalted_rank_cross_bucket_priority(spark):
             assert rank == seq - 2000 + 1
         else:             # depth 1: after all depth-0 rows
             assert rank == 2000 + seq + 1
+
+
+def test_presalted_counts_src_covering_and_mismatched(spark):
+    """ADVICE r03: an external counts_src holding the SAME rows ranks
+    identically to self-derived counts; one MISSING a bucket present in
+    b raises in-plan instead of silently dropping the uncovered rows."""
+    b = presalt(_mixed_batch(spark, 5_000), 500)
+    want = {(r["host"], r["discovery_seq"], r["host_rank"])
+            for r in rank_presalted(b, "depth").collect()}
+    got = {(r["host"], r["discovery_seq"], r["host_rank"])
+           for r in rank_presalted(b, "depth", counts_src=b).collect()}
+    assert got == want
+
+    partial = b.filter(F.col("host") != "hot.example.com")
+    with pytest.raises(Exception, match="counts_src is missing bucket"):
+        rank_presalted(b, "depth", counts_src=partial).collect()
