@@ -904,14 +904,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_seen_antijoin": q_d1_seen_antijoin,
     "d1_bloom_sharded": q_d1_bloom_sharded,
     "d2_first_occurrence": q_d2_first_occurrence,
-    "d2_first_occurrence_window": q_d2_first_occurrence_window,
-    "rl1_budget_rank": q_rl1_budget_rank,
     # NOTE: the registry is capped at 50 keys — the driver's correctness
     # harness records at most 50 rows (r02 registered 51, recorded 50,
-    # silently dropping the last key). The salted rank variant
-    # (q_rl1_budget_rank_salted) stays implemented + oracle-equal via
-    # tests/test_politeness_rank.py::test_salted_rank_equals_plain_window;
-    # its registry slot goes to a3_retry_stats.
+    # silently dropping the last key), so result-identical physical
+    # variants ROTATE through the spare slot for an oracle row across
+    # rounds (r03 VERDICT item 7): r03 ran d2_first_occurrence_window
+    # (green r02+r03; strategies stay pinned row-identical by
+    # tests/test_dedup_strategies.py), r04 hands that slot to the salted
+    # rank so all three RL1 strategies have oracle rows over r01–r04
+    # (salted stays pinned by tests/test_politeness_rank.py::
+    # test_salted_rank_equals_plain_window regardless).
+    "rl1_budget_rank": q_rl1_budget_rank,
+    "rl1_budget_rank_salted": q_rl1_budget_rank_salted,
     "rl1_budget_rank_presalted": q_rl1_budget_rank_presalted,
     "rl1_wait_time": q_rl1_wait_time,
     "j2_policy_join": q_j2_policy_join,
@@ -949,8 +953,8 @@ ORACLE_SQL: dict[str, str] = {
     "d1_seen_antijoin": SQL_D1,
     "d1_bloom_sharded": SQL_D1,
     "d2_first_occurrence": SQL_D2,
-    "d2_first_occurrence_window": SQL_D2,
     "rl1_budget_rank": SQL_RL1,
+    "rl1_budget_rank_salted": SQL_RL1,
     "rl1_budget_rank_presalted": SQL_RL1,
     "rl1_wait_time": SQL_RL1_WAIT,
     "j2_policy_join": SQL_J2,
