@@ -154,20 +154,47 @@ SNAPSHOT_LAYOUT = os.environ.get("SPARK_GRAFT_SNAPSHOT_LAYOUT", "bucketsort")
 
 # where the frontier jobs compute the host column: "early" (at canon
 # time, before the dedup exchange) or "late" (after dedup + seen
-# anti-join, before the layout exchange that needs it). Default "late":
-# host is a pure function of the URL, and computing it after the dedup
-# exchange keeps ~18B/row of host strings out of the job's biggest
-# shuffle and only extracts hosts for surviving rows — in-JVM
-# alternating A/B (scripts/exp_host_late.py, 32M rows): late/early
-# median 0.91 over 8 pairs at c16 vs 0.96 at c4, i.e. it helps most
-# exactly where shuffle bandwidth is the contended resource
-HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "late")
-if HOST_STAGE not in ("early", "late"):
+# anti-join, before the layout exchange that needs it). Host is a pure
+# function of the URL, so both are result-identical; the trade is
+# shuffle width vs fixed stage cost. "late" keeps ~18B/row of host
+# strings out of the job's biggest shuffle and only extracts hosts for
+# surviving rows — it wins when shuffle bandwidth is the contended
+# resource (in-JVM alternating A/B, scripts/exp_host_late.py, 32M rows:
+# late/early median 0.91 over 8 pairs at c16, 0.96 at c4). But at the
+# driver's small shape (2M rows, local[32]) the shuffle is cheap and
+# late's extra projection stage dominates: early won all 3 interleaved
+# rounds, median 6.0 s vs 8.2 s (BENCH/driver_shape_ab.jsonl, r04).
+# Default "auto" picks by INPUT SIZE ONLY (never by core count): a
+# cluster job's physical plan must be a function of the data, not the
+# cluster size, or an N->4N scaling comparison compares two different
+# engines. Measured bracketing: early wins at 2M rows, late wins at 32M
+# (both c4 and c16); the 4M threshold keeps every scaling shape (6M
+# round / 32M schedule) on the measured late branch while the driver's
+# 2M shape gets early. Explicit "early"/"late" still force one branch.
+HOST_STAGE = os.environ.get("SPARK_GRAFT_HOST_STAGE", "auto")
+if HOST_STAGE not in ("early", "late", "auto"):
     # a typo'd value would silently skip host extraction in BOTH branches
     # and fail much later with an opaque unresolved-column error at
     # presalt/snapshot time (ADVICE r03)
     raise ValueError(
-        f"SPARK_GRAFT_HOST_STAGE must be 'early' or 'late', got {HOST_STAGE!r}")
+        "SPARK_GRAFT_HOST_STAGE must be 'early', 'late' or 'auto', "
+        f"got {HOST_STAGE!r}")
+
+# total-rows crossover for HOST_STAGE="auto" (see bracketing above)
+HOST_AUTO_MAX_EARLY_ROWS = int(
+    os.environ.get("SPARK_GRAFT_HOST_AUTO_ROWS", str(4_000_000)))
+
+
+def resolve_host_stage(n_rows: int, cpus: int) -> str:
+    """Resolve HOST_STAGE="auto" to early/late for a concrete job shape.
+
+    Deliberately ignores ``cpus``: the resolved plan must be identical
+    at every parallelism level so scaling-efficiency pairs compare the
+    same work graph."""
+    del cpus
+    if HOST_STAGE != "auto":
+        return HOST_STAGE
+    return "early" if n_rows <= HOST_AUTO_MAX_EARLY_ROWS else "late"
 
 # presalt width denominator: salt_width = max(2^14, n_rows // DENOM), so
 # DENOM bounds the salts-per-host the rank's offsets frame can carry
@@ -392,8 +419,9 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
         """Identical pipeline for warmup and the measured run."""
+        host_stage = resolve_host_stage(n_rows, cpus)
         b = canonicalize_frame(src, "url")
-        if HOST_STAGE == "early":
+        if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))
         # window strategy: the round's input frontier is unique-heavy
         # (link-expansion dedup already ran when these URLs were
@@ -404,7 +432,7 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
-        if HOST_STAGE == "late":
+        if host_stage == "late":
             # host is a pure function of the URL: computing it AFTER the
             # dedup exchange + anti-join keeps ~18B/row of host strings
             # out of the job's biggest shuffle and runs the extraction
@@ -528,14 +556,15 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
 
     def run_pipeline(src: DataFrame, seen_df: DataFrame, store_df: DataFrame,
                      n_rows: int) -> None:
+        host_stage = resolve_host_stage(n_rows, cpus)
         b = canonicalize_frame(src, "url")
-        if HOST_STAGE == "early":
+        if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
-        if HOST_STAGE == "late":
+        if host_stage == "late":
             b = b.withColumn("host", host_native(F.col("url")))
         # width n/64 (was n/256): the offsets frame the rank broadcasts is
         # hosts x (n/width) rows — 4x smaller here, measured rank c4
