@@ -52,14 +52,15 @@ def run(cpus: int, n: int, n_hosts: int = 10_000) -> str:
 
     def run_pipeline(src, seen_df, n_rows):
         # mirror bench.run_schedule_job exactly (HOST_STAGE + counts_src)
+        host_stage = bench.resolve_host_stage(n_rows, cpus)
         b = canonicalize_frame(src, "url")
-        if bench.HOST_STAGE == "early":
+        if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))
         b = first_occurrence(b, ["canon_url"], ["discovery_seq"],
                              keep_hash=True, strategy=bench.DEDUP_STRATEGY)
         b = anti_join_seen(b, seen_df, ["canon_url"],
                            shuffle_hash=True, hash_key=True)
-        if bench.HOST_STAGE == "late":
+        if host_stage == "late":
             b = b.withColumn("host", host_native(F.col("url")))
         salt_width = max(1 << 14, n_rows // 64)
         b = bench.snapshot_bucket_sorted(
