@@ -417,9 +417,15 @@ def run_schedule_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
     # /tmp-less: scripts/exp_sched_actions.py + ab pairs).
     rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
 
+    # resolved ONCE from the MEASURED n: the 1/40-scale warmup must
+    # exercise the same early/late branch as the timed run, or the late
+    # branch's first-use codegen/broadcast setup lands in the timed
+    # region (ADVICE r04 medium)
+    host_stage = resolve_host_stage(n, cpus)
+
     def run_pipeline(src: DataFrame, seen_df: DataFrame, n_rows: int):
-        """Identical pipeline for warmup and the measured run."""
-        host_stage = resolve_host_stage(n_rows, cpus)
+        """Identical pipeline (same host_stage branch) for warmup and the
+        measured run; only the input size differs."""
         b = canonicalize_frame(src, "url")
         if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))
@@ -554,9 +560,11 @@ def run_round_job(spark: SparkSession, n: int, n_hosts: int, cpus: int,
             .repartition(parts, "canon_url")   # bucketed-store analog
         )
 
+    # resolved ONCE from the MEASURED n — see run_schedule_job (ADVICE r04)
+    host_stage = resolve_host_stage(n, cpus)
+
     def run_pipeline(src: DataFrame, seen_df: DataFrame, store_df: DataFrame,
                      n_rows: int) -> None:
-        host_stage = resolve_host_stage(n_rows, cpus)
         b = canonicalize_frame(src, "url")
         if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))

@@ -333,13 +333,18 @@ class ShardedBloomFilter:
             # num_hashes broadcast builds; with an identical build side
             # Catalyst plans one BroadcastExchange + (nh-1) ReusedExchange
             wi = self.words.alias(f"_sb_words{i}")
+            # reference the build-side word via its dataframe alias (not a
+            # bare-name rename, which would also rename a probe-side
+            # column named "word" and corrupt the bit test — ADVICE r04)
             probed = probed.join(
                 F.broadcast(wi),
                 (probed["_sb_shard"] == wi["shard"])
                 & (probed[f"_sb_w{i}"] == wi["widx"]),
                 "left",
-            ).drop(wi["shard"]).drop(wi["widx"]) \
-             .withColumnRenamed("word", f"_sb_word{i}")
+            ).withColumn(f"_sb_word{i}", F.col(f"_sb_words{i}.word")) \
+             .drop(F.col(f"_sb_words{i}.shard")) \
+             .drop(F.col(f"_sb_words{i}.widx")) \
+             .drop(F.col(f"_sb_words{i}.word"))
         bit_tests = [
             F.coalesce(
                 F.expr(

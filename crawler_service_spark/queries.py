@@ -177,7 +177,12 @@ SQL_D1 = f"""
 # benched a build the shipped policy amortizes over the crawl
 # (r03 VERDICT item 3). bench.py calls the query once untimed to warm
 # this cache, so the timed region measures the steady-state probe.
-_BLOOM_CACHE: dict = {}
+# Weak-keyed on the SparkSession so a stopped session's fitted bloom
+# (and its persisted words DataFrame) can be collected instead of being
+# pinned for process lifetime (ADVICE r04): value is {sf_dir: bloom}.
+import weakref
+
+_BLOOM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def q_d1_bloom_sharded(spark, sf_dir):
@@ -190,12 +195,12 @@ def q_d1_bloom_sharded(spark, sf_dir):
     urls = _synth_urls(load(spark, sf_dir, "orders"))
     seen = urls.filter(F.col("id") % 3 == 0).select(F.col("url").alias("canon_url"))
     batch = urls.select("id", F.col("url").alias("canon_url"))
-    ck = (id(spark), sf_dir)
-    bloom = _BLOOM_CACHE.get(ck)
+    per_session = _BLOOM_CACHE.setdefault(spark, {})
+    bloom = per_session.get(sf_dir)
     if bloom is None:
         bloom = ShardedBloomFilter(spark, num_bits=1 << 18, n_shards=8).fit(
             seen, "canon_url")
-        _BLOOM_CACHE[ck] = bloom
+        per_session[sf_dir] = bloom
     return anti_join_seen(batch, seen, ["canon_url"], bloom=bloom,
                           bloom_key="canon_url").select("id")
 

@@ -50,9 +50,12 @@ def run(cpus: int, n: int, n_hosts: int = 10_000) -> str:
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
     rank_parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "64"))
 
+    # resolved ONCE from the MEASURED n, mirroring bench.run_schedule_job
+    # (warmup exercises the same early/late branch — ADVICE r04)
+    host_stage = bench.resolve_host_stage(n, cpus)
+
     def run_pipeline(src, seen_df, n_rows):
         # mirror bench.run_schedule_job exactly (HOST_STAGE + counts_src)
-        host_stage = bench.resolve_host_stage(n_rows, cpus)
         b = canonicalize_frame(src, "url")
         if host_stage == "early":
             b = b.withColumn("host", host_native(F.col("url")))
@@ -62,7 +65,9 @@ def run(cpus: int, n: int, n_hosts: int = 10_000) -> str:
                            shuffle_hash=True, hash_key=True)
         if host_stage == "late":
             b = b.withColumn("host", host_native(F.col("url")))
-        salt_width = max(1 << 14, n_rows // 64)
+        # track the bench lever (SPARK_GRAFT_SALT_DENOM), not a hardcoded
+        # 64 — the mirror must profile the same plan bench.py times
+        salt_width = max(1 << 14, n_rows // bench.SALT_DENOM)
         b = bench.snapshot_bucket_sorted(
             spark, presalt(b, salt_width), "sched_round",
             rank_parts, ["host", "_salt"],

@@ -100,6 +100,27 @@ def test_probe_is_native(spark):
     assert ann.rdd.getNumPartitions() == 5
 
 
+def test_probe_batch_with_word_column(spark):
+    """ADVICE r04: a probed batch that itself carries a ``word`` column
+    must survive annotate unchanged — the build-side word is referenced
+    via its dataframe alias, never by a bare-name rename that would also
+    capture (and corrupt) a probe-side column of the same name."""
+    seen = keys(spark, 0, 4000)
+    sb = ShardedBloomFilter(spark, num_bits=1 << 16, n_shards=8).fit(
+        seen, "canon_url")
+    batch = keys(spark, 2000, 8000, extra_cols=True).withColumn(
+        "word", (F.col("id") * 7).cast("long"))
+    got = anti_join_seen(batch, seen, ["canon_url"], bloom=sb,
+                         bloom_key="canon_url")
+    want = anti_join_seen(batch, seen, ["canon_url"])
+    assert collect_keys(got) == collect_keys(want)
+    assert set(got.columns) == {"canon_url", "id", "word"}
+    # the payload column's VALUES are untouched by the probe
+    vals = {r["canon_url"]: r["word"] for r in got.collect()}
+    ref = {r["canon_url"]: r["word"] for r in want.collect()}
+    assert vals == ref
+
+
 def test_ten_million_keys_driver_flat(spark):
     """10^7 seen keys (VERDICT r01 acceptance): the filter builds as a
     distributed aggregate, driver RSS stays flat (no num_bits-sized
