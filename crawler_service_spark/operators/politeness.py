@@ -36,8 +36,41 @@ handling covers the fetch join that follows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Physical strategy for joining the tiny per-bucket offsets frame back
+# onto the presalted rank's payload (rank_presalted):
+#
+# * "broadcast" — offsets are collected to the driver and broadcast.
+#   The hash-relation build is DRIVER-SIDE and single-threaded, and the
+#   join is a barrier: no payload task starts until the build finishes.
+#   With salt width n/64 the offsets frame is ~hosts × 64 rows, so this
+#   is a FLAT multi-second cost that does not shrink with cores —
+#   event-log attribution shows the rank step scaling at ~0.57 under it.
+# * "shuffle_hash" — the payload side is ALREADY hash-clustered on
+#   (host, _salt) by the bucketed snapshot scan, and (host, _salt) is a
+#   subset of the join keys, so Spark reuses that partitioning and
+#   shuffles ONLY the tiny offsets side to match
+#   (spark.sql.requireAllClusterKeysForCoPartition=false, the 3.3+
+#   default): zero payload exchange, the 64 per-partition hash builds
+#   are distributed, and there is no driver barrier. Cluster analog:
+#   a bucket-local dimension join against an Iceberg bucketed table.
+OFFSETS_JOIN = os.environ.get("SPARK_GRAFT_OFFSETS_JOIN", "broadcast")
+if OFFSETS_JOIN not in ("broadcast", "shuffle_hash"):
+    raise ValueError(
+        "SPARK_GRAFT_OFFSETS_JOIN must be 'broadcast' or 'shuffle_hash', "
+        f"got {OFFSETS_JOIN!r}")
+
+
+def _offsets_side(offsets: DataFrame) -> DataFrame:
+    """Apply the configured physical-join strategy to the offsets frame
+    (main rank path only — the counts_src guard path stays broadcast)."""
+    if OFFSETS_JOIN == "shuffle_hash":
+        return offsets.hint("shuffle_hash")
+    return F.broadcast(offsets)
 
 
 def with_host_policy(
@@ -283,13 +316,45 @@ def rank_presalted(
     if counts_src is None:
         # counts derive from b itself: every bucket is covered by
         # construction, the inner equi-join is free of the guard branch
-        ranked = ranked.join(
-            F.broadcast(offsets), ["host", priority_col, "_salt"]
-        ).withColumn("host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
+        if OFFSETS_JOIN == "shuffle_hash":
+            # join on EXACTLY the bucket keys (host, _salt) — the payload
+            # side's HashPartitioning then satisfies the join's required
+            # distribution verbatim, so only the tiny offsets side
+            # shuffles and the per-partition hash builds are distributed
+            # (no driver-side broadcast build, no barrier). The priority
+            # column rides as payload and is matched by a RESIDUAL
+            # condition: counts derive from b, so every (host, _salt,
+            # priority) row of `ranked` has exactly one matching offsets
+            # row — the residual drops only the cross-priority pairs the
+            # narrower join key admits (≤ #priorities per bucket).
+            # The residual is written least==greatest (equivalent to
+            # equality for the non-null priorities counts produce)
+            # because a plain `l == r` between the two sides would be
+            # extracted back into the equi-join keys by Catalyst
+            # (ExtractEquiJoinKeys), re-shuffling the payload on all
+            # three columns — exactly the exchange this branch removes.
+            off = offsets.withColumnRenamed(
+                priority_col, "_off_prio").hint("shuffle_hash")
+            prio_match = (
+                F.least(F.col(priority_col), F.col("_off_prio"))
+                == F.greatest(F.col(priority_col), F.col("_off_prio")))
+            ranked = (
+                ranked.join(off, ["host", "_salt"])
+                .filter(prio_match)
+                .drop("_off_prio")
+            )
+        else:
+            ranked = ranked.join(
+                _offsets_side(offsets), ["host", priority_col, "_salt"])
+        ranked = ranked.withColumn(
+            "host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
     else:
         # external counts: a bucket present in b but missing from
         # counts_src means the caller broke the SAME-rows contract —
         # raise in-plan rather than silently dropping those rows
+        # guard path stays broadcast: the left-join missing-bucket raise
+        # needs full-key matching, and counts_src is the non-default
+        # cluster-metadata variant where the frame is tiny by contract
         ranked = ranked.join(
             F.broadcast(offsets), ["host", priority_col, "_salt"], "left"
         ).withColumn(

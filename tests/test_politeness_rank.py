@@ -139,10 +139,24 @@ def test_presalted_rank_over_bucketed_snapshot_no_exchange(spark, tmp_path):
     assert got == want
     # plan: the only exchanges allowed feed the tiny offsets branch
     # (count frame + its window); the payload side must scan → window
-    # with no Exchange in between
+    # with no Exchange in between — under EITHER offsets-join strategy
+    from crawler_service_spark.operators import politeness as pol
+
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    payload = plan.split("BroadcastExchange")[0]
-    assert "Exchange" not in payload, payload
+    if pol.OFFSETS_JOIN == "broadcast":
+        payload = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in payload, payload
+    else:
+        # shuffle_hash: the streamed (payload) side is the join's FIRST
+        # child — every line of its subtree is prefixed with the ':'
+        # tree-continuation marker; offsets-side lines are not
+        lines = plan.splitlines()
+        j = next(i for i, ln in enumerate(lines) if "ShuffledHashJoin" in ln)
+        payload_lines = [ln for ln in lines[j + 1:] if ln.lstrip().startswith(":")]
+        assert payload_lines, plan
+        assert not any("Exchange" in ln for ln in payload_lines), plan
+        # and the whole plan carries no broadcast barrier for the rank
+        assert "BroadcastExchange" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS t_presalt_snap")
 
 
