@@ -242,7 +242,7 @@ def save_history(history: list[dict]) -> None:
         json.dump(history, f, indent=1)
 
 
-WORKLOAD_REV = 8     # bump when the measured work graph changes (r3:
+WORKLOAD_REV = 9     # bump when the measured work graph changes (r3:
                      # window-strategy frontier dedup; r4: bucket-sorted
                      # snapshot + presalted rank, pre-join-aligned fetch
                      # join, level-independent input partitioning; r5:
@@ -254,8 +254,13 @@ WORKLOAD_REV = 8     # bump when the measured work graph changes (r3:
                      # rank counts + post-dedup host — the counts half
                      # measured slower in the assembled pipeline; r8:
                      # host stays late, counts back to the bucketed
-                     # scan) — stats pool only same-rev runs; cross-rev
-                     # medians would mix different engines
+                     # scan; r9: warmup now exercises the measured
+                     # host-stage branch (ADVICE r04 fix, bench.py
+                     # resolve_host_stage from the MEASURED n) — pre-fix
+                     # runs carried late-branch first-use setup inside
+                     # the timed region, so their sec is not comparable)
+                     # — stats pool only same-rev runs; cross-rev
+                     # medians would mix different engines/timed regions
 PROBE_SLACK = 1.15   # keep runs within 15% of the fastest observed host speed
 STEAL_MAX = 1.5      # % hypervisor steal during the run — above this the
                      # co-tenant, not the engine, set the wall time
