@@ -207,10 +207,15 @@ class ShardedBloomFilter:
       — a hash aggregate with map-side partial combining, parallelism
       bounded by the data, not the shard count, zero Python.
     * merge (round update): union + the same ``bit_or`` aggregate.
-    * probe: one broadcast LEFT join per hash on ``(shard, widx)`` plus
-      a native shift/AND bit test — no shuffle of the candidate batch,
-      no Python crossing, whole-stage codegen throughout. A missing
-      word row means those 64 bits are all zero ⇒ definitely new.
+    * probe: broadcast lookups plus a native shift/AND bit test — no
+      shuffle of the candidate batch, no Python crossing, whole-stage
+      codegen throughout. A missing word means those 64 bits are all
+      zero ⇒ definitely new. Small filters (≤ ``map_probe_max_words``
+      non-zero words) ride ONE broadcast join of per-shard
+      ``map<widx, word>`` rows with ``try_element_at`` lookups; larger
+      filters pay one broadcast LEFT join per hash on ``(shard, widx)``
+      against the sparse words table (the shape that degrades into
+      bucketed shuffled joins at 10^10 seen keys).
 
     The driver never holds filter bytes; it holds a handle to a
     DataFrame of at most ``num_bits/64`` rows. At 10^10 seen keys the
@@ -233,6 +238,7 @@ class ShardedBloomFilter:
         num_bits: int = 1 << 23,
         num_hashes: int = 3,
         n_shards: int = 64,
+        map_probe_max_words: int = 1 << 18,
     ):
         self.spark = spark
         self.n_shards = int(n_shards)
@@ -241,6 +247,18 @@ class ShardedBloomFilter:
         self.bits_per_shard = bps
         self.num_hashes = int(num_hashes)
         self.words: DataFrame | None = None  # (shard long, widx long, word long)
+        # small-filter probe strategy: while the filter holds at most
+        # this many non-zero words (= 8 bytes each), annotate() probes
+        # through ONE broadcast of per-shard word MAPS (n_shards rows,
+        # element_at lookups) instead of num_hashes broadcast joins —
+        # one join node in the plan instead of three, the rest identical.
+        # Past the threshold the per-hash (shard, widx) joins take over:
+        # they broadcast only the sparse words that exist and, at
+        # 10^10-seen scale, degrade gracefully into shuffled joins
+        # against a bucketed words table (class docstring).
+        self.map_probe_max_words = int(map_probe_max_words)
+        self._n_words = 0
+        self._word_maps: DataFrame | None = None
         self.fitted = False
 
     # -- internal ----------------------------------------------------------
@@ -288,10 +306,26 @@ class ShardedBloomFilter:
     def _materialize(self, words: DataFrame) -> DataFrame:
         old = self.words
         words = words.persist()
-        words.count()  # ≤ num_bits/64 rows; breaks lineage across rounds
+        self._n_words = words.count()  # ≤ num_bits/64 rows; breaks lineage
         if old is not None:
             old.unpersist()
+        if self._word_maps is not None:   # filter contents changed
+            self._word_maps.unpersist()
+            self._word_maps = None
         return words
+
+    def _shard_maps(self) -> DataFrame:
+        """(shard, wmap: map<widx, word>) — n_shards rows, built once per
+        fit/update and persisted; the small-filter probe broadcasts it."""
+        if self._word_maps is None:
+            self._word_maps = (
+                self.words.groupBy("shard")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("widx", "word"))).alias("wmap"))
+                .persist()
+            )
+            self._word_maps.count()
+        return self._word_maps
 
     # -- build -------------------------------------------------------------
     def fit(self, seen: DataFrame, key: str = "canon_url") -> "ShardedBloomFilter":
@@ -314,10 +348,13 @@ class ShardedBloomFilter:
 
     # -- probe -------------------------------------------------------------
     def annotate(self, batch: DataFrame, key_col: str) -> DataFrame:
-        """Append ``_maybe_seen`` via per-hash broadcast word lookups:
-        the candidate batch never shuffles and never crosses into
-        Python — each hash's (shard, widx) finds its word row (or NULL
-        = all-zero word) and a codegen'd shift/AND tests the bit."""
+        """Append ``_maybe_seen`` via broadcast word lookups: the
+        candidate batch never shuffles and never crosses into Python.
+        Small filters (≤ ``map_probe_max_words`` non-zero words) probe
+        through ONE broadcast join against per-shard word maps +
+        ``try_element_at`` lookups; larger filters probe per hash — each
+        hash's (shard, widx) finds its word row (or NULL = all-zero
+        word). Either way a codegen'd shift/AND tests the bit."""
         if self.words is None:
             return batch.withColumn("_maybe_seen", F.lit(False))
         nh = self.num_hashes
@@ -327,6 +364,23 @@ class ShardedBloomFilter:
         for i, p in enumerate(self._position_exprs(F.col(key_col))):
             probed = (probed.withColumn(f"_sb_p{i}", p)
                       .withColumn(f"_sb_w{i}", F.shiftrightunsigned(f"_sb_p{i}", 6)))
+        if self._n_words <= self.map_probe_max_words:
+            # one join instead of num_hashes: the whole filter rides a
+            # single n_shards-row broadcast of map<widx, word> columns;
+            # try_element_at returns NULL for an absent word (= all-zero
+            # word ⇒ bit clear) and for rows whose shard has no words at
+            # all (left join put NULL in the map column)
+            wm = self._shard_maps().alias("_sb_wm")
+            probed = probed.join(
+                F.broadcast(wm),
+                probed["_sb_shard"] == wm["shard"], "left")
+            for i in range(nh):
+                probed = probed.withColumn(
+                    f"_sb_word{i}",
+                    F.try_element_at(F.col("_sb_wm.wmap"), F.col(f"_sb_w{i}")))
+            probed = (probed.drop(F.col("_sb_wm.shard"))
+                      .drop(F.col("_sb_wm.wmap")))
+            return self._bit_test_select(probed, batch, nh)
         for i in range(nh):
             # every probe joins the SAME (shard, widx, word) projection —
             # renaming per-join used to defeat exchange reuse and pay
@@ -345,6 +399,13 @@ class ShardedBloomFilter:
              .drop(F.col(f"_sb_words{i}.shard")) \
              .drop(F.col(f"_sb_words{i}.widx")) \
              .drop(F.col(f"_sb_words{i}.word"))
+        return self._bit_test_select(probed, batch, nh)
+
+    @staticmethod
+    def _bit_test_select(probed: DataFrame, batch: DataFrame, nh: int) -> DataFrame:
+        """AND of the per-hash bit tests over ``_sb_word{i}``/``_sb_p{i}``
+        (NULL word = all-zero ⇒ False), projected back to the batch's
+        own columns plus ``_maybe_seen``."""
         bit_tests = [
             F.coalesce(
                 F.expr(

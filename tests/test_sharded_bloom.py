@@ -100,6 +100,34 @@ def test_probe_is_native(spark):
     assert ann.rdd.getNumPartitions() == 5
 
 
+def test_map_probe_matches_join_probe(spark):
+    """The small-filter map probe (one broadcast join + try_element_at)
+    and the per-hash join probe are the SAME filter — identical hash
+    family, identical bits — so their _maybe_seen columns must agree
+    row-for-row; and the small plan must carry exactly one broadcast
+    join."""
+    seen = keys(spark, 0, 4000)
+    batch = keys(spark, 2000, 9000, extra_cols=True)
+    small = ShardedBloomFilter(spark, num_bits=1 << 16, n_shards=8).fit(
+        seen, "canon_url")
+    forced_join = ShardedBloomFilter(
+        spark, num_bits=1 << 16, n_shards=8, map_probe_max_words=0).fit(
+        seen, "canon_url")
+    a = small.annotate(batch, "canon_url")
+    b = forced_join.annotate(batch, "canon_url")
+    rows = lambda df: sorted((r["canon_url"], r["_maybe_seen"])
+                             for r in df.collect())
+    assert rows(a) == rows(b)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    # exactly one broadcast join in the probe itself; the plan string
+    # also embeds the cached word-map BUILD lineage (below the
+    # TableCacheQueryStage marker), which is not probe work
+    probe_part = plan.split("TableCacheQueryStage")[0]
+    assert probe_part.count("BroadcastHashJoin") == 1, plan
+    assert "element_at" in probe_part, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_probe_batch_with_word_column(spark):
     """ADVICE r04: a probed batch that itself carries a ``word`` column
     must survive annotate unchanged — the build-side word is referenced
