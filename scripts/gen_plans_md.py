@@ -139,14 +139,31 @@ def main() -> None:
     sb = ShardedBloomFilter(spark, num_bits=1 << 14, n_shards=4).fit(
         seen, "canon_url")
     add(
-        "D1 sharded-bloom probe (cogrouped shard-wise join)",
-        "The candidate batch shuffles on its (uniform) shard id and "
-        "cogroups with the ≤ n_shards bitmap rows — "
-        "`FlatMapCoGroupsInPandas` tests each row against exactly one "
-        "shard's bytes with vectorized numpy lookups. No bitmap on the "
-        "driver, none in any closure; bit positions are JVM-side "
-        "xxhash64 columns.",
+        "D1 sharded-bloom probe (small filter: one broadcast map join)",
+        "Small filters (≤ map_probe_max_words non-zero 64-bit words) "
+        "probe through a SINGLE `BroadcastHashJoin LeftOuter` against "
+        "n_shards rows of `map<widx, word>`; the per-hash words are "
+        "`try_element_at` lookups and the bit tests are codegen'd "
+        "shift/AND — one join node, no shuffle of the candidate batch, "
+        "no Python. Bit positions are two JVM-side xxhash64 evaluations "
+        "(Kirsch–Mitzenmacher). Past the threshold the probe switches "
+        "to one broadcast join per hash against the sparse "
+        "(shard, widx, word) table — the shape that becomes a bucketed "
+        "shuffled join at 10^10 seen keys. No bitmap on the driver, "
+        "none in any closure.",
         sb.annotate(batch, "canon_url"),
+    )
+
+    sb_big = ShardedBloomFilter(spark, num_bits=1 << 14, n_shards=4,
+                                map_probe_max_words=0).fit(seen, "canon_url")
+    add(
+        "D1 sharded-bloom probe (large filter: per-hash sparse-words joins)",
+        "The same filter forced onto the large-filter path: one "
+        "broadcast LEFT join per hash on (shard, widx) — Catalyst plans "
+        "ONE `BroadcastExchange` and reuses it for the other hashes "
+        "(`ReusedExchange`), so the filter broadcasts once regardless "
+        "of num_hashes.",
+        sb_big.annotate(batch, "canon_url"),
     )
 
     # 6. broadcast policy join (J2)
