@@ -210,12 +210,17 @@ class ShardedBloomFilter:
     * probe: broadcast lookups plus a native shift/AND bit test — no
       shuffle of the candidate batch, no Python crossing, whole-stage
       codegen throughout. A missing word means those 64 bits are all
-      zero ⇒ definitely new. Small filters (≤ ``map_probe_max_words``
-      non-zero words) ride ONE broadcast join of per-shard
-      ``map<widx, word>`` rows with ``try_element_at`` lookups; larger
-      filters pay one broadcast LEFT join per hash on ``(shard, widx)``
-      against the sparse words table (the shape that degrades into
-      bucketed shuffled joins at 10^10 seen keys).
+      zero ⇒ definitely new. Small filters (capacity ≤
+      ``map_probe_max_words`` words) ride ONE broadcast join of
+      per-shard DENSE ``array<long>`` rows with O(1) ``element_at``
+      indexing (a ``map<long,long>`` lookup is a LINEAR key scan per
+      probe — measured 2-3× slower at 4k words; a whole-bitmap plan
+      Literal avoids even the join but its per-execution cost grows
+      with the literal and the array join beat it at every size
+      tried). Larger/sparser filters pay one broadcast LEFT join per
+      hash on ``(shard, widx)`` against the sparse words table (the
+      shape that degrades into bucketed shuffled joins at 10^10 seen
+      keys).
 
     The driver never holds filter bytes; it holds a handle to a
     DataFrame of at most ``num_bits/64`` rows. At 10^10 seen keys the
@@ -238,7 +243,7 @@ class ShardedBloomFilter:
         num_bits: int = 1 << 23,
         num_hashes: int = 3,
         n_shards: int = 64,
-        map_probe_max_words: int = 1 << 18,
+        map_probe_max_words: int = 1 << 20,
     ):
         self.spark = spark
         self.n_shards = int(n_shards)
@@ -247,18 +252,21 @@ class ShardedBloomFilter:
         self.bits_per_shard = bps
         self.num_hashes = int(num_hashes)
         self.words: DataFrame | None = None  # (shard long, widx long, word long)
-        # small-filter probe strategy: while the filter holds at most
-        # this many non-zero words (= 8 bytes each), annotate() probes
-        # through ONE broadcast of per-shard word MAPS (n_shards rows,
-        # element_at lookups) instead of num_hashes broadcast joins —
-        # one join node in the plan instead of three, the rest identical.
-        # Past the threshold the per-hash (shard, widx) joins take over:
-        # they broadcast only the sparse words that exist and, at
-        # 10^10-seen scale, degrade gracefully into shuffled joins
-        # against a bucketed words table (class docstring).
+        # small-filter probe strategy: while the filter CAPACITY
+        # (n_shards * words_per_shard, i.e. its dense size — ≤ 8 MiB at
+        # the default, Spark's own broadcast-threshold ballpark) fits
+        # this many 8-byte words, annotate() probes
+        # through ONE broadcast of per-shard dense array<long> rows
+        # (n_shards rows, O(1) element_at indexing) instead of
+        # num_hashes broadcast joins — one join node in the plan
+        # instead of three, the rest identical. Past the threshold the
+        # per-hash (shard, widx) joins take over: they broadcast only
+        # the sparse words that exist and, at 10^10-seen scale, degrade
+        # gracefully into shuffled joins against a bucketed words table
+        # (class docstring).
         self.map_probe_max_words = int(map_probe_max_words)
         self._n_words = 0
-        self._word_maps: DataFrame | None = None
+        self._word_arrays: DataFrame | None = None
         self.fitted = False
 
     # -- internal ----------------------------------------------------------
@@ -309,23 +317,42 @@ class ShardedBloomFilter:
         self._n_words = words.count()  # ≤ num_bits/64 rows; breaks lineage
         if old is not None:
             old.unpersist()
-        if self._word_maps is not None:   # filter contents changed
-            self._word_maps.unpersist()
-            self._word_maps = None
+        if self._word_arrays is not None:  # filter contents changed
+            self._word_arrays.unpersist()
+            self._word_arrays = None
         return words
 
-    def _shard_maps(self) -> DataFrame:
-        """(shard, wmap: map<widx, word>) — n_shards rows, built once per
-        fit/update and persisted; the small-filter probe broadcasts it."""
-        if self._word_maps is None:
-            self._word_maps = (
-                self.words.groupBy("shard")
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("widx", "word"))).alias("wmap"))
+    def _shard_arrays(self) -> DataFrame:
+        """(shard, warr: DENSE array<long> of the shard's whole bitmap)
+        — n_shards rows, built once per fit/update and persisted; the
+        small-filter probe broadcasts it and indexes with O(1)
+        ``element_at``. A ``map<widx, word>`` was tried first and
+        reverted: map lookups are a linear key scan per probe, 2-3×
+        slower at 4k words. Dense arrays cost capacity (not sparse
+        size) bytes, which is why the regime gate is capacity-based."""
+        if self._word_arrays is None:
+            wps = self.bits_per_shard // 64
+            # one dense slot row per (shard, widx) capacity cell, sparse
+            # words joined on — NOT a per-slot map lookup, which is a
+            # linear scan per cell (quadratic in words-per-shard; hung
+            # at 64k words/shard). array_sort on (widx, word) structs
+            # orders by widx, so transform(x -> x.word) is the dense
+            # bitmap in index order.
+            slots = self.spark.range(self.n_shards * wps).select(
+                F.expr(f"id DIV {wps}").alias("shard"),
+                F.pmod(F.col("id"), F.lit(wps)).alias("widx"))
+            self._word_arrays = (
+                slots.join(self.words, ["shard", "widx"], "left")
+                .na.fill({"word": 0})
+                .groupBy("shard")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("widx", "word"))).alias("s"))
+                .select("shard",
+                        F.expr("transform(s, x -> x.word)").alias("warr"))
                 .persist()
             )
-            self._word_maps.count()
-        return self._word_maps
+            self._word_arrays.count()
+        return self._word_arrays
 
     # -- build -------------------------------------------------------------
     def fit(self, seen: DataFrame, key: str = "canon_url") -> "ShardedBloomFilter":
@@ -350,36 +377,48 @@ class ShardedBloomFilter:
     def annotate(self, batch: DataFrame, key_col: str) -> DataFrame:
         """Append ``_maybe_seen`` via broadcast word lookups: the
         candidate batch never shuffles and never crosses into Python.
-        Small filters (≤ ``map_probe_max_words`` non-zero words) probe
-        through ONE broadcast join against per-shard word maps +
-        ``try_element_at`` lookups; larger filters probe per hash — each
-        hash's (shard, widx) finds its word row (or NULL = all-zero
-        word). Either way a codegen'd shift/AND tests the bit."""
+        Small filters (capacity ≤ ``map_probe_max_words`` words) probe
+        through ONE broadcast join against per-shard dense
+        ``array<long>`` rows + O(1) ``element_at`` indexing; larger
+        filters probe per hash — each hash's (shard, widx) finds its
+        sparse word row (or NULL = all-zero word). Either way a
+        codegen'd shift/AND tests the bit."""
         if self.words is None:
             return batch.withColumn("_maybe_seen", F.lit(False))
         nh = self.num_hashes
-        probed = batch.withColumn(
-            "_sb_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_shards))
+        # two flat selects, not a withColumn chain — each withColumn is
+        # its own projection node and the analyzer/optimizer pay per
+        # node on EVERY execution (measured ~0.1 s/probe at 10 nodes)
+        probed = batch.select(
+            "*",
+            F.pmod(F.xxhash64(F.col(key_col)),
+                   F.lit(self.n_shards)).alias("_sb_shard"),
+            *[p.alias(f"_sb_p{i}")
+              for i, p in enumerate(self._position_exprs(F.col(key_col)))],
+        ).select(
+            "*",
+            *[F.shiftrightunsigned(f"_sb_p{i}", 6).alias(f"_sb_w{i}")
+              for i in range(nh)],
         )
-        for i, p in enumerate(self._position_exprs(F.col(key_col))):
-            probed = (probed.withColumn(f"_sb_p{i}", p)
-                      .withColumn(f"_sb_w{i}", F.shiftrightunsigned(f"_sb_p{i}", 6)))
-        if self._n_words <= self.map_probe_max_words:
+        wps = self.bits_per_shard // 64
+        if self.n_shards * wps <= self.map_probe_max_words:
             # one join instead of num_hashes: the whole filter rides a
-            # single n_shards-row broadcast of map<widx, word> columns;
-            # try_element_at returns NULL for an absent word (= all-zero
-            # word ⇒ bit clear) and for rows whose shard has no words at
-            # all (left join put NULL in the map column)
-            wm = self._shard_maps().alias("_sb_wm")
+            # single n_shards-row broadcast of dense array<long> rows;
+            # element_at is O(1) indexing (1-based, always in range
+            # since w < wps, so ANSI cannot fail) and NULL only for
+            # rows whose shard has no words at all (left join put NULL
+            # in the array column) — NULL word = all-zero ⇒ bit clear
+            wm = self._shard_arrays().alias("_sb_wa")
             probed = probed.join(
                 F.broadcast(wm),
                 probed["_sb_shard"] == wm["shard"], "left")
-            for i in range(nh):
-                probed = probed.withColumn(
-                    f"_sb_word{i}",
-                    F.try_element_at(F.col("_sb_wm.wmap"), F.col(f"_sb_w{i}")))
-            probed = (probed.drop(F.col("_sb_wm.shard"))
-                      .drop(F.col("_sb_wm.wmap")))
+            probed = probed.select(
+                "*",
+                *[F.element_at(
+                    F.col("_sb_wa.warr"),
+                    (F.col(f"_sb_w{i}") + F.lit(1)).cast("int")
+                  ).alias(f"_sb_word{i}") for i in range(nh)],
+            ).drop(F.col("_sb_wa.shard")).drop(F.col("_sb_wa.warr"))
             return self._bit_test_select(probed, batch, nh)
         for i in range(nh):
             # every probe joins the SAME (shard, widx, word) projection —
@@ -484,10 +523,30 @@ def anti_join_seen(
         seen_keys = seen_keys.hint("shuffle_hash")
     if bloom is not None and bloom.fitted:
         probed = bloom.annotate(batch, bloom_key)
-        definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-        maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        survived = maybe.join(seen_keys, join_cols, "left_anti")
-        out = definitely_new.unionByName(survived)
+        if shuffle_hash:
+            # shuffled regime (seen too big to broadcast): split FIRST so
+            # definitely-new rows never enter the exchange — the whole
+            # point of the prefilter at 10^10 seen keys is that only the
+            # maybe-seen remainder shuffles to meet its seen partition
+            definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            survived = maybe.join(seen_keys, join_cols, "left_anti")
+            out = definitely_new.unionByName(survived)
+        else:
+            # broadcast regime: the batch does not shuffle either way, so
+            # the union split only duplicates the probe subtree into two
+            # branches (Spark re-executes shared lineage per branch).
+            # One pass instead: LeftAnti with ``_maybe_seen`` as a
+            # RESIDUAL condition — a definitely-new row can never satisfy
+            # the condition, so it survives the anti-join untouched;
+            # maybe-seen rows pay the exact key check. Same rows out,
+            # one scan, one join, no union.
+            s = seen_keys.alias("_ajs_seen")
+            cond = F.col("_maybe_seen")
+            for k in join_cols:
+                cond = cond & (probed[k] == F.col(f"_ajs_seen.{k}"))
+            out = (probed.join(s, cond, "left_anti")
+                   .drop("_maybe_seen"))
     else:
         out = batch.join(seen_keys, join_cols, "left_anti")
     return out.drop("_kh") if hash_key else out
