@@ -661,30 +661,34 @@ SQL_DEDUP_EXACT = """
     FROM documents GROUP BY md5(text)
 """
 
-_MH_SEEDS = ["0", "1", "2", "3"]
+_MH_SHINGLES = "transform(sequence(1, greatest(1, length(text)-7)), i -> md5(substring(text, i, 8)))"
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures over 8-char shingles (md5-based, engine-neutral).
-    At scale: shingling + hashing stays inside whole-stage codegen
-    (sequence/transform/array_min are all native expressions)."""
+
+    Each shingle is hashed ONCE and the 128-bit digest is sliced into
+    four 32-bit lanes (standard wide-hash slicing) — 4x less hashing
+    than one seeded md5 per lane. The shared hash array is built in its
+    own projection; CollapseProject keeps the expensive producer out of
+    the four consumers (optimized plan carries exactly one md5 node —
+    measured 9.3s -> 3.2s at sf0.1, scripts/exp_minhash_lanes.py).
+    At scale the whole map is native expressions, no shuffle."""
     doc = load(spark, sf_dir, "documents")
+    hs = doc.select("doc_id", F.expr(_MH_SHINGLES).alias("_hs"))
     cols = [
-        F.expr(
-            "array_min(transform(sequence(1, greatest(1, length(text)-7)),"
-            f" i -> md5(concat(substring(text, i, 8), '#{s}'))))"
-        ).alias(f"mh{s}")
-        for s in _MH_SEEDS
+        F.expr(f"array_min(transform(_hs, h -> substring(h, {1 + 8 * k}, 8)))").alias(f"mh{k}")
+        for k in range(4)
     ]
-    return doc.select("doc_id", *cols)
+    return hs.select("doc_id", *cols)
 
 
 SQL_MINHASH = """
     SELECT doc_id,
-           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#0'))) AS mh0,
-           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#1'))) AS mh1,
-           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#2'))) AS mh2,
-           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5(substr(text, i, 8) || '#3'))) AS mh3
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> substr(md5(substr(text, i, 8)), 1, 8))) AS mh0,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> substr(md5(substr(text, i, 8)), 9, 8))) AS mh1,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> substr(md5(substr(text, i, 8)), 17, 8))) AS mh2,
+           list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> substr(md5(substr(text, i, 8)), 25, 8))) AS mh3
     FROM documents
 """
 
