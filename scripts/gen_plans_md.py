@@ -167,7 +167,25 @@ def main() -> None:
     )
 
     # 6. broadcast policy join (J2)
-    from crawler_service_spark.queries import q_j2_policy_join
+    from crawler_service_spark.queries import q_dedup_minhash_sig, q_j2_policy_join
+
+    mh = q_dedup_minhash_sig(spark, SF)
+    n_md5 = mh._jdf.queryExecution().optimizedPlan().toString().count("md5")
+    add(
+        "T2 MinHash signature map (hash once, slice the digest)",
+        "Pure projection — no shuffle, no Python: every expression is a "
+        "native JVM evaluator (the higher-order `transform`/`array_min` "
+        "lambdas are CodegenFallback, so the two Projects sit outside a "
+        "codegen span, but evaluation stays JVM-side and columnar input "
+        "is preserved). Each 8-char shingle is hashed ONCE and "
+        "the 128-bit digest sliced into four 32-bit lanes; the shared "
+        "hash array lives in its own projection and CollapseProject "
+        "leaves the expensive producer out of the four `array_min` "
+        f"consumers. Optimized plan carries exactly {n_md5} `md5` node "
+        f"(asserted ==1 by `scripts/exp_minhash_lanes.py`); shuffle "
+        f"exchanges: {count_exchanges(mh)}.",
+        mh,
+    )
 
     add(
         "J2 policy broadcast join",
