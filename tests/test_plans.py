@@ -91,3 +91,16 @@ def test_anti_join_seen_is_exact_anti(spark):
     out = anti_join_seen(batch, seen, ["canon_url"])
     assert "LeftAnti" in explain_str(out)
     assert out.count() == 500
+
+
+def test_minhash_signature_hashes_each_shingle_once(spark):
+    """T2 MinHash: one md5 per shingle, digest sliced into lanes — the
+    optimized plan must carry exactly ONE md5 node (CollapseProject must
+    not inline the shared hash array into the four array_min consumers)
+    and the map must stay shuffle-free."""
+    from crawler_service_spark.queries import q_dedup_minhash_sig
+
+    df = q_dedup_minhash_sig(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 1, optimized
+    assert count_exchanges(df) == 0, explain_str(df)
