@@ -686,12 +686,26 @@ def main() -> None:
     # policy (r03 VERDICT item 3)
     force(SPARK_QUERIES["d1_bloom_sharded"](spark, sf_dir))
 
+    # Every suite entry is the FASTEST of 2 back-to-back same-JVM runs
+    # (frontier jobs below already were): a single shot inherits whatever
+    # host window the driver lands in — this box's hypervisor swings
+    # identical runs up to 1.7× — and for sub-second queries also times
+    # first-use codegen instead of the operator. Per-rep walls are
+    # disclosed in ``query_rep_walls``; spin probes bracket the section
+    # so the host window is attributable.
+    suite_probe_before = cpu_probe()
     timings: dict[str, float] = {}
+    query_rep_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.monotonic()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _ in range(max(2, args.reps)):
+            t0 = time.monotonic()
+            force(fn(spark, sf_dir))
+            walls.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(walls)
+        query_rep_walls[name] = walls
+    suite_probe_after = cpu_probe()
 
     # the north-rule scheduling job + one full engine round are part of
     # the headline suite. Fastest-of-2 same-JVM reps (the methodology
@@ -719,6 +733,10 @@ def main() -> None:
         "round_urls_per_sec": rnd["urls_per_sec"],
         "frontier_rep_runs": sched["rep_runs"],
         "round_rep_runs": rnd["rep_runs"],
+        "query_rep_walls": query_rep_walls,
+        "suite_spin_probes": [suite_probe_before, suite_probe_after],
+        "methodology": "each entry = fastest of 2 same-JVM reps; "
+                       "per-rep walls + spin probes disclosed",
         "cpus": cpus,
     }))
     spark.stop()
