@@ -678,7 +678,7 @@ def main() -> None:
     from crawler_service_spark.queries import SPARK_QUERIES
 
     # steady-state warmup for the bloom entry: one untimed end-to-end run
-    # fits + memoizes the sharded bloom (queries._BLOOM_CACHE) and pays
+    # fits + memoizes the sharded bloom (queries._session_cache) and pays
     # the one-shot codegen/broadcast setup, so the timed run below
     # measures the per-round PROBE — the engine fits once past
     # large_seen_threshold and probes every round thereafter, so timing

@@ -265,7 +265,6 @@ class ShardedBloomFilter:
         # gracefully into shuffled joins against a bucketed words table
         # (class docstring).
         self.map_probe_max_words = int(map_probe_max_words)
-        self._n_words = 0
         self._word_arrays: DataFrame | None = None
         self.fitted = False
 
@@ -314,7 +313,7 @@ class ShardedBloomFilter:
     def _materialize(self, words: DataFrame) -> DataFrame:
         old = self.words
         words = words.persist()
-        self._n_words = words.count()  # ≤ num_bits/64 rows; breaks lineage
+        words.count()  # materialize: ≤ num_bits/64 rows; breaks lineage
         if old is not None:
             old.unpersist()
         if self._word_arrays is not None:  # filter contents changed

@@ -65,14 +65,6 @@ if OFFSETS_JOIN not in ("broadcast", "shuffle_hash"):
         f"got {OFFSETS_JOIN!r}")
 
 
-def _offsets_side(offsets: DataFrame) -> DataFrame:
-    """Apply the configured physical-join strategy to the offsets frame
-    (main rank path only — the counts_src guard path stays broadcast)."""
-    if OFFSETS_JOIN == "shuffle_hash":
-        return offsets.hint("shuffle_hash")
-    return F.broadcast(offsets)
-
-
 def with_host_policy(
     batch: DataFrame,
     policy: DataFrame | None,
@@ -327,25 +319,46 @@ def rank_presalted(
             # priority) row of `ranked` has exactly one matching offsets
             # row — the residual drops only the cross-priority pairs the
             # narrower join key admits (≤ #priorities per bucket).
-            # The residual is written least==greatest (equivalent to
-            # equality for the non-null priorities counts produce)
-            # because a plain `l == r` between the two sides would be
-            # extracted back into the equi-join keys by Catalyst
-            # (ExtractEquiJoinKeys), re-shuffling the payload on all
-            # three columns — exactly the exchange this branch removes.
+            # The residual avoids a plain `l == r` / `l <=> r` between
+            # the two sides: either would be extracted back into the
+            # equi-join keys by Catalyst (ExtractEquiJoinKeys handles
+            # both EqualTo and EqualNullSafe), re-shuffling the payload
+            # on all three columns — exactly the exchange this branch
+            # removes. The OR form below is null-safe equality written
+            # as a pure residual: NULL priorities match only NULL
+            # offsets rows (least/greatest alone SKIP nulls, so a bare
+            # least==greatest would cross-match every NULL row against
+            # every priority in its bucket).
             off = offsets.withColumnRenamed(
                 priority_col, "_off_prio").hint("shuffle_hash")
+            l, r = F.col(priority_col), F.col("_off_prio")
             prio_match = (
-                F.least(F.col(priority_col), F.col("_off_prio"))
-                == F.greatest(F.col(priority_col), F.col("_off_prio")))
+                (l.isNull() & r.isNull())
+                | (l.isNotNull() & r.isNotNull()
+                   & (F.least(l, r) == F.greatest(l, r))))
             ranked = (
                 ranked.join(off, ["host", "_salt"])
                 .filter(prio_match)
                 .drop("_off_prio")
             )
         else:
-            ranked = ranked.join(
-                _offsets_side(offsets), ["host", priority_col, "_salt"])
+            # null-safe on priority: a using-columns join would silently
+            # drop NULL-priority rows (NULL keys never equi-match); the
+            # docstring declares mixed — including NULL — priorities
+            # valid, and the plain-window strategy ranks them (NULLS
+            # FIRST), so this strategy must too. EqualNullSafe is a
+            # first-class hash-join key, same BroadcastHashJoin shape.
+            off = (offsets.withColumnRenamed(priority_col, "_off_prio")
+                   .withColumnRenamed("host", "_off_host")
+                   .withColumnRenamed("_salt", "_off_salt"))
+            ranked = (
+                ranked.join(
+                    F.broadcast(off),
+                    (F.col("host") == F.col("_off_host"))
+                    & (F.col("_salt") == F.col("_off_salt"))
+                    & F.col(priority_col).eqNullSafe(F.col("_off_prio")))
+                .drop("_off_host", "_off_salt", "_off_prio")
+            )
         ranked = ranked.withColumn(
             "host_rank", (F.col("_lrn") + F.col("_off")).cast("long"))
     else:
@@ -355,9 +368,16 @@ def rank_presalted(
         # guard path stays broadcast: the left-join missing-bucket raise
         # needs full-key matching, and counts_src is the non-default
         # cluster-metadata variant where the frame is tiny by contract
+        off = (offsets.withColumnRenamed(priority_col, "_off_prio")
+               .withColumnRenamed("host", "_off_host")
+               .withColumnRenamed("_salt", "_off_salt"))
         ranked = ranked.join(
-            F.broadcast(offsets), ["host", priority_col, "_salt"], "left"
-        ).withColumn(
+            F.broadcast(off),
+            (F.col("host") == F.col("_off_host"))
+            & (F.col("_salt") == F.col("_off_salt"))
+            & F.col(priority_col).eqNullSafe(F.col("_off_prio")),
+            "left",
+        ).drop("_off_host", "_off_salt", "_off_prio").withColumn(
             "host_rank",
             F.when(F.col("_off").isNotNull(),
                    F.col("_lrn") + F.col("_off"))

@@ -25,7 +25,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -44,12 +43,10 @@ VARIANTS = {
 }
 
 
-def cpu_probe() -> float:
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(10_000_000):
-        x += i
-    return round(time.perf_counter() - t0, 4)
+# single source of truth for the spin probe — a drifted copy would make
+# probe numbers non-comparable across the benchmark records
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_scaling import cpu_probe  # noqa: E402
 
 
 def main() -> None:

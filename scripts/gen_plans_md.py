@@ -139,13 +139,16 @@ def main() -> None:
     sb = ShardedBloomFilter(spark, num_bits=1 << 14, n_shards=4).fit(
         seen, "canon_url")
     add(
-        "D1 sharded-bloom probe (small filter: one broadcast map join)",
-        "Small filters (≤ map_probe_max_words non-zero 64-bit words) "
-        "probe through a SINGLE `BroadcastHashJoin LeftOuter` against "
-        "n_shards rows of `map<widx, word>`; the per-hash words are "
-        "`try_element_at` lookups and the bit tests are codegen'd "
-        "shift/AND — one join node, no shuffle of the candidate batch, "
-        "no Python. Bit positions are two JVM-side xxhash64 evaluations "
+        "D1 sharded-bloom probe (small filter: one broadcast dense-array join)",
+        "Small filters (dense capacity n_shards*words_per_shard ≤ "
+        "map_probe_max_words) probe through a SINGLE "
+        "`BroadcastHashJoin` on `shard` against n_shards rows of DENSE "
+        "`array<long>`; the per-hash words are O(1) `element_at` "
+        "indexes (1-based, always in range) and the bit tests are "
+        "codegen'd shift/AND — one join node, no shuffle of the "
+        "candidate batch, no Python. (A `map<widx, word>` variant was "
+        "tried and reverted: Spark map lookup is a linear scan.) Bit "
+        "positions are two JVM-side xxhash64 evaluations "
         "(Kirsch–Mitzenmacher). Past the threshold the probe switches "
         "to one broadcast join per hash against the sparse "
         "(shard, widx, word) table — the shape that becomes a bucketed "
@@ -182,7 +185,8 @@ def main() -> None:
         "hash array lives in its own projection and CollapseProject "
         "leaves the expensive producer out of the four `array_min` "
         f"consumers. Optimized plan carries exactly {n_md5} `md5` node "
-        f"(asserted ==1 by `scripts/exp_minhash_lanes.py`); shuffle "
+        f"(asserted ==1 by `tests/test_plans.py::"
+        f"test_minhash_signature_hashes_each_shingle_once`); shuffle "
         f"exchanges: {count_exchanges(mh)}.",
         mh,
     )

@@ -194,3 +194,46 @@ def test_presalted_counts_src_covering_and_mismatched(spark):
     partial = b.filter(F.col("host") != "hot.example.com")
     with pytest.raises(Exception, match="counts_src is missing bucket"):
         rank_presalted(b, "depth", counts_src=partial).collect()
+
+
+def test_presalted_rank_null_priority_both_strategies(spark, monkeypatch):
+    """NULL priorities are a group of their own (plain-window NULLS FIRST
+    semantics) under BOTH offsets-join strategies. Regression (r05 code
+    review): the broadcast arm's using-columns equi-join silently DROPPED
+    NULL-priority rows (NULL keys never equi-match), and the
+    shuffle_hash residual's bare least==greatest — least/greatest SKIP
+    nulls — cross-matched every NULL row against every priority in its
+    bucket, duplicating rows and corrupting host_rank."""
+    import crawler_service_spark.operators.politeness as pol
+
+    b = _mixed_batch(spark, 5_000).withColumn(
+        "depth",
+        F.when(F.col("discovery_seq") % 5 == 0, F.lit(None))
+        .otherwise(F.col("depth")).cast("int"))
+    w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+    want = {tuple(r) for r in
+            b.withColumn("host_rank",
+                         F.row_number().over(w).cast("long")).collect()}
+    for strategy in ("broadcast", "shuffle_hash"):
+        monkeypatch.setattr(pol, "OFFSETS_JOIN", strategy)
+        ranked = rank_presalted(presalt(b, 500), "depth")
+        got = {tuple(r) for r in ranked.drop("_salt").collect()}
+        assert got == want, f"strategy={strategy}"
+
+
+def test_presalted_counts_src_null_priority_covered(spark):
+    """The counts_src guard path must null-safe-match NULL-priority
+    buckets: a covering counts_src containing them must NOT raise the
+    missing-bucket error (the old using-columns left join never matched
+    NULL keys and raised spuriously)."""
+    b = presalt(
+        _mixed_batch(spark, 2_000).withColumn(
+            "depth",
+            F.when(F.col("discovery_seq") % 5 == 0, F.lit(None))
+            .otherwise(F.col("depth")).cast("int")),
+        500)
+    want = {(r["host"], r["discovery_seq"], r["host_rank"])
+            for r in rank_presalted(b, "depth").collect()}
+    got = {(r["host"], r["discovery_seq"], r["host_rank"])
+           for r in rank_presalted(b, "depth", counts_src=b).collect()}
+    assert got == want
