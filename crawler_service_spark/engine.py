@@ -125,7 +125,7 @@ class CrawlEngine:
     def _read_seen(self, rounds: list[int]) -> DataFrame | None:
         if not rounds:
             return None
-        paths = [self.storage._table_path("seen", r) for r in rounds]
+        paths = [self.storage.table_path("seen", r) for r in rounds]
         return self.spark.read.parquet(*paths)
 
     # -------------------------------------------------------------- frontier
@@ -210,7 +210,7 @@ class CrawlEngine:
             meta = self.storage.round_meta(latest)
             seen_rounds = [
                 e["round"]
-                for e in self.storage._read_manifest()["rounds"]
+                for e in self.storage.committed_rounds()
                 if "seen" in e["tables"]
             ]
             if "frontier" not in meta["tables"]:
@@ -228,12 +228,45 @@ class CrawlEngine:
         else:
             if seeds is None:
                 raise ValueError("seeds required when not resuming")
+            # a FRESH crawl must not inherit a prior crawl's rounds from
+            # the same checkpoint dir: commit_round only replaces
+            # same-round entries, so stale later rounds would survive an
+            # early kill and a subsequent resume would silently merge
+            # the two crawls' seen sets and pages
+            self.storage.reset()
             rnd = 0
             seen_rounds = []
             self._write_frontier(self._initial_frontier(seeds), 0)
             frontier = self._read_frontier(0)
 
         deferral = cfg.budget_rounds is not None
+        # R-disabled mirror of the reference's `rate_limiting_enabled`
+        # flag (can_make_request always True): limits become unbounded —
+        # no politeness windows, no deferral caps — while robots rules
+        # (disallow prefixes, crawl delay) still apply, they are not the
+        # rate limiter's. Custom per-host limits are nulled so the
+        # coalesce falls through to the unbounded default.
+        if cfg.rate_limiting_enabled:
+            eff_default_limit = cfg.default_rate_limit
+            eff_policy = self.policy
+        else:
+            eff_default_limit = 1 << 31
+            eff_policy = (
+                self.policy.withColumn(
+                    "rate_limit", F.lit(None).cast("int"))
+                if self.policy is not None else None
+            )
+        # cross-round virtual-clock advance gap: the next round's epoch
+        # must clear every host's last politeness window AND crawl-delay
+        # spacing, so the gap is the largest window/delay any host can
+        # have (policy is a tiny dimension — one-time driver lookup)
+        vgap = float(cfg.rate_limit_window_s)
+        if self.policy is not None:
+            row = self.policy.agg(
+                F.max("window_s").alias("w"),
+                F.max("crawl_delay_s").alias("d"),
+            ).collect()[0]
+            vgap = max(vgap, float(row["w"] or 0), float(row["d"] or 0))
         # running count of the seen union, used only to pick the seen
         # anti-join's physical strategy (broadcast vs hash-build). On
         # resume a parquet count is footer-metadata only — no scan.
@@ -244,32 +277,59 @@ class CrawlEngine:
         # expansion — frontier rows with seq >= prev_base are this round's
         # new arrivals (the whole frontier in non-deferral mode)
         if resume and rnd > 0:
-            prev = self.storage.read_table(self.spark, "frontier", rnd - 1)
-            prev_base = int(prev.agg(F.max("discovery_seq")).collect()[0][0]) + 1
+            # exact values persisted in the last committed round's
+            # counters; the frontier-max fallback (pre-persistence
+            # checkpoints) under-reconstructs when a round's expansion
+            # produced no survivors while a deferred backlog remained
+            prev_counters = (self.storage.round_meta(rnd - 1) or {}).get(
+                "counters", {})
+            prev_base = prev_counters.get("seq_base")
+            if prev_base is None:
+                prev = self.storage.read_table(self.spark, "frontier", rnd - 1)
+                prev_base = int(
+                    prev.agg(F.max("discovery_seq")).collect()[0][0]) + 1
+            vclock = float(prev_counters.get("vclock_next",
+                                             cfg.round_epoch))
         else:
             prev_base = 0
+            vclock = float(cfg.round_epoch)
 
         while rnd < self.max_rounds:
             agg = frontier.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("discovery_seq").alias("mx"),
+                F.min("discovery_seq").alias("mn"),
             ).collect()[0]
             n_frontier = int(agg["n"])
             if n_frontier == 0:
                 break
-            seq_base = int(agg["mx"]) + 1  # next fresh discovery_seq
+            # next fresh discovery_seq — MONOTONE across rounds: when a
+            # round's expansion yields no survivors while a deferred
+            # backlog remains, the frontier max regresses below already-
+            # issued seqs, and re-deriving the base from it alone would
+            # reissue seqs carried by pages fetched earlier (duplicate
+            # (depth, seq) order keys). prev_base is the running
+            # high-water mark, persisted per round for resume.
+            seq_base = max(int(agg["mx"]) + 1, prev_base)
+            seq_min = int(agg["mn"])
             depth_of_round = rnd  # == frontier depth in non-deferral mode
 
             # each round consumes budget_rounds politeness windows per
-            # (full) host, so the virtual clock advances accordingly
-            epoch = cfg.round_epoch + (
-                rnd * cfg.budget_rounds * cfg.rate_limit_window_s
-                if deferral else 0.0
+            # (full) host in deferral mode; in non-deferral mode a round
+            # fetches the whole frontier across however many virtual
+            # windows it needs, so the clock resumes past the previous
+            # round's observed maximum (max_vft + vgap, observed on the
+            # pages write below) — per-host politeness windows stay
+            # disjoint ACROSS rounds, not just within one
+            epoch = (
+                cfg.round_epoch
+                + rnd * cfg.budget_rounds * cfg.rate_limit_window_s
+                if deferral else vclock
             )
             admitted, deferred = schedule_round(
                 frontier,
-                self.policy,
-                default_limit=cfg.default_rate_limit,
+                eff_policy,
+                default_limit=eff_default_limit,
                 default_window_s=cfg.rate_limit_window_s,
                 round_epoch=epoch,
                 budget_rounds=cfg.budget_rounds,
@@ -315,9 +375,14 @@ class CrawlEngine:
                 F.sum(F.col("is_error").cast("long")).alias("n_errors"),
                 F.sum("retry_attempts").alias("total_retries"),
                 F.approx_count_distinct("host").alias("approx_hosts"),
+                # feeds the cross-round virtual clock — rides the write,
+                # no extra scan
+                F.max("virtual_fetch_time").alias("max_vft"),
             )
             self.storage.write_table(pages, "pages", rnd)
-            observed = {k: int(v or 0) for k, v in obs.get.items()}
+            obs_vals = dict(obs.get)
+            vclock = float(obs_vals.pop("max_vft") or 0.0) + vgap
+            observed = {k: int(v or 0) for k, v in obs_vals.items()}
             pages = self.storage.read_table(self.spark, "pages", rnd)
 
             # enqueue-time seen semantics (visited ∪ pending): every URL
@@ -414,8 +479,15 @@ class CrawlEngine:
                 # (parent_seq, link_pos) shifted by seq_base, so ordering
                 # and first-occurrence stay well-defined when deferred
                 # rows from earlier rounds share the frontier
+                # base=seq_min: parents span [seq_min, seq_base), so
+                # bucketing over the cumulative [0, seq_base) range
+                # would collapse late rounds' candidates into 1-2
+                # buckets and serialize the dense-seq window (the
+                # two-level scheme's whole point is that no executor
+                # sees more than one bucket)
                 cand = assign_dense_seq(
-                    cand, "parent_seq", "link_pos", seq_base, cfg.seq_buckets
+                    cand, "parent_seq", "link_pos", seq_base,
+                    cfg.seq_buckets, base=seq_min,
                 ).withColumn(
                     "discovery_seq", F.col("discovery_seq") + F.lit(seq_base)
                 )
@@ -435,6 +507,11 @@ class CrawlEngine:
             round_counters = {
                 "frontier": n_frontier,
                 "depth": depth_of_round,
+                # persisted for exact resume: the seq high-water mark
+                # and the virtual clock cannot be re-derived from the
+                # frontier alone in every shape (see seq_base above)
+                "seq_base": seq_base,
+                "vclock_next": vclock,
                 **observed,
             }
             self.storage.commit_round(
@@ -451,6 +528,12 @@ class CrawlEngine:
             rnd += 1
 
         latest = self.storage.latest_round()
+        if latest is None:
+            # no round ever committed (the seed frontier was empty after
+            # canonicalization): fail loudly instead of returning
+            # CrawlTables(pages=None, ...) that crashes every consumer
+            raise ValueError(
+                "crawl fetched no pages: the seed frontier was empty")
         all_pages = self.storage.pages_glob(self.spark, latest)
         seen = self._read_seen(seen_rounds)
         return CrawlTables(pages=all_pages, seen=seen, round_counters=counters)

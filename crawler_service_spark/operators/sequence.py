@@ -9,7 +9,8 @@ well-defined under parallelism.
 
 ``assign_dense_seq`` turns that key into a dense 0-based sequence WITHOUT
 a single-partition global window: because ``parent_seq`` is dense within a
-round (0..n_parents-1), ``bucket = parent_seq // ceil(n_parents/buckets)``
+round's occupied range ``[base, n_parents)``,
+``bucket = (parent_seq - base) // ceil((n_parents - base)/buckets)``
 is an order-preserving partitioner computed from the data itself (no
 sampling, no spark_partition_id — both would break run-to-run
 determinism). Rank within bucket via a window, then add per-bucket offsets
@@ -31,17 +32,24 @@ def assign_dense_seq(
     n_parents: int,
     n_buckets: int = 64,
     out_col: str = "discovery_seq",
+    base: int = 0,
 ) -> DataFrame:
     """Dense 0-based rank of rows ordered by (parent_seq, pos).
 
-    ``n_parents`` must upper-bound ``parent_seq`` values + 1 (the engine
-    passes the previous round's frontier size).
+    ``[base, n_parents)`` must cover the ``parent_seq`` values — the
+    engine passes the round frontier's (min, max+1). Bucketing over the
+    OCCUPIED range matters: ``parent_seq`` is cumulative across rounds,
+    so bucketing over ``[0, n_parents)`` would land every late round's
+    parents (spanning only the top slice of that range) in 1-2 buckets
+    and serialize the rank window on one executor.
     """
-    if n_parents <= 0:
+    span = n_parents - base
+    if span <= 0:
         return df.withColumn(out_col, F.lit(0).cast("long"))
-    bucket_width = max(1, -(-n_parents // n_buckets))  # ceil
+    bucket_width = max(1, -(-span // n_buckets))  # ceil
     bucketed = df.withColumn(
-        "_seq_bucket", (F.col(parent_seq_col) / bucket_width).cast("long")
+        "_seq_bucket",
+        ((F.col(parent_seq_col) - F.lit(base)) / bucket_width).cast("long"),
     )
     # per-bucket sizes -> exclusive prefix-sum offsets (driver-side; <= n_buckets rows)
     sizes = {

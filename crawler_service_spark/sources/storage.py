@@ -46,6 +46,32 @@ class SnapshotStore:
     def latest_round(self) -> int | None:
         return self._read_manifest()["latest"]
 
+    def committed_rounds(self) -> list[dict]:
+        """Public view of the committed-round entries (round / tables /
+        counters) so callers never parse the manifest layout directly."""
+        return self._read_manifest()["rounds"]
+
+    def reset(self) -> None:
+        """Truncate the store for a FRESH crawl over a dir that may hold
+        a prior crawl's state. commit_round only replaces same-round
+        entries, so without this a fresh crawl that dies early would
+        leave the old crawl's later rounds in the manifest — and a
+        subsequent resume would silently merge the two crawls' seen
+        sets and pages."""
+        import shutil
+
+        for entry in os.listdir(self.root):
+            p = self.root / entry
+            # only remove dirs that are store tables (round=NNNNNN
+            # partitions) — a misconfigured root pointing at a data dir
+            # must not have unrelated content deleted
+            if p.is_dir() and any(
+                c.name.startswith("round=") for c in p.iterdir()
+            ):
+                shutil.rmtree(p)
+        if self.manifest_path.exists():
+            self.manifest_path.unlink()
+
     def round_meta(self, rnd: int) -> dict | None:
         for entry in self._read_manifest()["rounds"]:
             if entry["round"] == rnd:
@@ -55,6 +81,16 @@ class SnapshotStore:
     # -- snapshot I/O -------------------------------------------------------
     def _table_path(self, table: str, rnd: int) -> str:
         return str(self.root / table / f"round={rnd:06d}")
+
+    def table_path(self, table: str, rnd: int) -> str:
+        """Public path accessor (multi-round parquet reads)."""
+        return self._table_path(table, rnd)
+
+    @staticmethod
+    def _sql_str(s: str) -> str:
+        """Escape a string for use inside a single-quoted Spark SQL
+        literal (LOCATION '...') — apostrophes are legal in paths."""
+        return s.replace("\\", "\\\\").replace("'", "\\'")
 
     def write_table(self, df: DataFrame, table: str, rnd: int) -> str:
         path = self._table_path(table, rnd)
@@ -153,7 +189,7 @@ class SnapshotStore:
             f"CREATE TABLE {name} ({df.schema.toDDL()}) USING parquet "
             f"CLUSTERED BY ({', '.join(cols)}) "
             f"SORTED BY ({', '.join(sort_cols)}) "
-            f"INTO {buckets} BUCKETS LOCATION '{path}'")
+            f"INTO {buckets} BUCKETS LOCATION '{self._sql_str(path)}'")
         # persist the layout spec beside the data: resume in a fresh
         # session must re-register with the bucket count the files were
         # WRITTEN with — registering with a different count makes Spark
@@ -197,7 +233,7 @@ class SnapshotStore:
                 f"CLUSTERED BY ({', '.join(cols)}) "
                 f"SORTED BY ({', '.join(sort_cols)}) "
                 f"INTO {buckets} BUCKETS "
-                f"LOCATION '{self._table_path(table, rnd)}'"
+                f"LOCATION '{self._sql_str(self._table_path(table, rnd))}'"
             )
         return spark.table(name)
 

@@ -124,3 +124,11 @@ def test_bucketize_rejects_poisoned_and_duplicate_files(tmp_path):
             mk([f"part-00001-{uuid}-c000.parquet",
                 f"part-00001-{uuid.replace('0123a', 'ffffa')}-c000.parquet"]),
             4)
+
+
+def test_layout_checkpoint_dir_with_apostrophe(spark, tmp_path):
+    """LOCATION literals are escaped: a checkpoint dir containing an
+    apostrophe (legal in POSIX paths, common in macOS user dirs) must
+    not break the bucketed write/read DDL."""
+    t = _crawl(spark, tmp_path, "bucketsort", "bob's crawl")
+    assert fetch_order(t.pages).count() > 0
