@@ -432,6 +432,15 @@ scaling efficiency {eff:.3f}** (best-vs-best: {best_speedup:.2f}×, {best_eff:.3
 """)
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # a hand-written "<!-- ADDENDUM" block at the end of the report
+    # (post-campaign analysis that must not be lost) survives
+    # regeneration verbatim
+    addendum = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("<!-- ADDENDUM")
+        if idx != -1:
+            addendum = "\n" + prev[idx:]
     with open(path, "w") as f:
         f.write(f"""# BENCH — two-parallelism scaling evidence (north rule)
 
@@ -539,6 +548,7 @@ host-hash/seq-range) and a bucketed content store give for free — the
 bench proves the plan shapes, the engine ships them
 (CrawlConfig.frontier_layout, engine.py fetch join).
 """)
+        f.write(addendum)
     print(json.dumps({"jobs": summary, "report": path}))
 
 
